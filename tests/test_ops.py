@@ -1,0 +1,136 @@
+"""Kernel unit tests: exactness vs numpy (SURVEY.md §4 called these out as a
+gap in the reference — its only accuracy checks were self-query smoke tests)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from tpu_vector_db.ops import distance as D
+from tpu_vector_db.ops.scan import flat_scan_topk
+from tpu_vector_db.ops.topk import top_k, merge_topk
+
+
+def np_cosine(q, db):
+    qn = q / np.maximum(np.linalg.norm(q, axis=-1, keepdims=True), 1e-8)
+    dn = db / np.maximum(np.linalg.norm(db, axis=-1, keepdims=True), 1e-8)
+    return qn @ dn.T
+
+
+class TestDistance:
+    def test_cosine_matches_numpy(self, rng):
+        q = rng.standard_normal((4, 64), dtype=np.float32)
+        db = rng.standard_normal((100, 64), dtype=np.float32)
+        got = np.asarray(D.cosine_scores(jnp.asarray(q), jnp.asarray(db)))
+        np.testing.assert_allclose(got, np_cosine(q, db), atol=1e-5)
+
+    def test_euclidean_matches_numpy(self, rng):
+        q = rng.standard_normal((3, 32), dtype=np.float32)
+        db = rng.standard_normal((50, 32), dtype=np.float32)
+        got = np.asarray(D.euclidean_distances(jnp.asarray(q), jnp.asarray(db)))
+        want = np.linalg.norm(q[:, None, :] - db[None, :, :], axis=-1)
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+    def test_dot_matches_numpy(self, rng):
+        q = rng.standard_normal((2, 16), dtype=np.float32)
+        db = rng.standard_normal((20, 16), dtype=np.float32)
+        got = np.asarray(D.dot_scores(jnp.asarray(q), jnp.asarray(db)))
+        np.testing.assert_allclose(got, q @ db.T, atol=1e-5)
+
+    def test_normalize_eps_clamp(self):
+        x = jnp.zeros((2, 8))
+        out = np.asarray(D.l2_normalize(x))
+        assert np.all(np.isfinite(out))
+
+    def test_pad_dim_is_score_noop(self, rng):
+        q = rng.standard_normal((2, 100), dtype=np.float32)
+        db = rng.standard_normal((30, 100), dtype=np.float32)
+        base = np_cosine(q, db)
+        got = np.asarray(D.cosine_scores(D.pad_dim(jnp.asarray(q)),
+                                         D.pad_dim(jnp.asarray(db))))
+        np.testing.assert_allclose(got, base, atol=1e-5)
+
+    def test_score_conventions(self):
+        s, d = D.raw_score_to_similarity_distance(0.9, "cosine")
+        assert s == 0.9 and abs(d - 0.1) < 1e-9
+        s, d = D.raw_score_to_similarity_distance(2.0, "euclidean")
+        assert d == 2.0 and abs(s - 1 / 3) < 1e-9
+        s, d = D.raw_score_to_similarity_distance(5.0, "dot_product")
+        assert s == 5.0 and d == -5.0
+
+
+class TestTopK:
+    def test_topk_matches_numpy(self, rng):
+        x = rng.standard_normal((5, 200), dtype=np.float32)
+        vals, idx = top_k(jnp.asarray(x), 7)
+        want = np.sort(x, axis=-1)[:, ::-1][:, :7]
+        np.testing.assert_allclose(np.asarray(vals), want, atol=1e-6)
+        np.testing.assert_allclose(
+            np.take_along_axis(x, np.asarray(idx), axis=-1), want, atol=1e-6)
+
+    def test_bottom_k(self, rng):
+        x = rng.standard_normal((3, 50), dtype=np.float32)
+        vals, _ = top_k(jnp.asarray(x), 5, largest=False)
+        want = np.sort(x, axis=-1)[:, :5]
+        np.testing.assert_allclose(np.asarray(vals), want, atol=1e-6)
+
+    def test_merge_topk_equals_global(self, rng):
+        a = rng.standard_normal((2, 40), dtype=np.float32)
+        b = rng.standard_normal((2, 60), dtype=np.float32)
+        va, ia = top_k(jnp.asarray(a), 10)
+        vb, ib = top_k(jnp.asarray(b), 10)
+        mv, _ = merge_topk(va, ia, vb, ib + 40, 10)
+        allx = np.concatenate([a, b], axis=-1)
+        want = np.sort(allx, axis=-1)[:, ::-1][:, :10]
+        np.testing.assert_allclose(np.asarray(mv), want, atol=1e-6)
+
+
+class TestFlatScan:
+    @pytest.mark.parametrize("metric", ["cosine", "euclidean", "dot_product"])
+    @pytest.mark.parametrize("n,block", [(100, 8192), (5000, 1024)])
+    def test_scan_equals_bruteforce(self, rng, metric, n, block):
+        d, q_n, k = 48, 3, 10
+        db = rng.standard_normal((n, d), dtype=np.float32)
+        q = rng.standard_normal((q_n, d), dtype=np.float32)
+        n_pad = ((n + block - 1) // block) * block
+        db_pad = np.zeros((n_pad, d), np.float32)
+        db_pad[:n] = db
+        keys, idx = flat_scan_topk(
+            D.pad_dim(jnp.asarray(q)), D.pad_dim(jnp.asarray(db_pad)),
+            jnp.int32(n), k, metric=metric, block_rows=block)
+        keys, idx = np.asarray(keys), np.asarray(idx)
+
+        if metric == "cosine":
+            ref = np_cosine(q, db)
+        elif metric == "dot_product":
+            ref = q @ db.T
+        else:
+            ref = -np.linalg.norm(q[:, None] - db[None], axis=-1) ** 2
+        want = np.sort(ref, axis=-1)[:, ::-1][:, :k]
+        np.testing.assert_allclose(keys, want, atol=1e-3)
+        got_scores = np.take_along_axis(ref, idx, axis=-1)
+        np.testing.assert_allclose(got_scores, want, atol=1e-3)
+
+    def test_count_masks_padding(self, rng):
+        db = np.zeros((1024, 16), np.float32)
+        db[:5] = rng.standard_normal((5, 16))
+        q = db[:1].copy()
+        keys, idx = flat_scan_topk(
+            D.pad_dim(jnp.asarray(q)), D.pad_dim(jnp.asarray(db)),
+            jnp.int32(5), 10, metric="cosine")
+        assert np.all(np.asarray(idx)[0][np.isfinite(np.asarray(keys)[0])] < 5)
+        finite = np.isfinite(np.asarray(keys)[0])
+        assert finite.sum() == 5
+
+    def test_filter_mask(self, rng):
+        n, d = 64, 16
+        db = rng.standard_normal((n, d), dtype=np.float32)
+        q = rng.standard_normal((1, d), dtype=np.float32)
+        mask = np.zeros(n, np.bool_)
+        mask[10:20] = True
+        keys, idx = flat_scan_topk(
+            D.pad_dim(jnp.asarray(q)), D.pad_dim(jnp.asarray(db)),
+            jnp.int32(n), 5, metric="cosine", filter_mask=jnp.asarray(mask))
+        idx = np.asarray(idx)[0]
+        keys = np.asarray(keys)[0]
+        assert np.all((idx[np.isfinite(keys)] >= 10) & (idx[np.isfinite(keys)] < 20))

@@ -1,0 +1,209 @@
+"""Store behavior tests: lifecycle, persistence, filters, batch query.
+
+Mirrors the behavioral spec in the reference's integration test
+(tests/test_integration.py:46-173: add -> count -> self-query top-1 sim>0.999
+-> filtered query -> cleanup) plus the gaps SURVEY.md §4 flagged (persistence
+round-trip, capacity growth, score conventions, batch_query which the
+reference never implemented).
+"""
+
+import numpy as np
+import pytest
+
+from tpu_vector_db.store import TPUVectorStore, VectorStoreConfig
+
+
+def make_store(path, n=0, d=32, metric="cosine", rng=None, **kw):
+    cfg = VectorStoreConfig(dimension=d, metric=metric,
+                            persist_mode=kw.pop("persist_mode", "lazy"), **kw)
+    store = TPUVectorStore(path, cfg)
+    vecs = None
+    if n:
+        vecs = rng.standard_normal((n, d)).astype(np.float32)
+        store.add_vectors(vecs, [{"id": f"doc_{i}", "cat": i % 3}
+                                 for i in range(n)])
+    return store, vecs
+
+
+class TestLifecycle:
+    def test_add_count_query(self, tmp_store_path, rng):
+        store, vecs = make_store(tmp_store_path, n=100, rng=rng)
+        assert len(store) == 100
+        idx, scores, meta = store.query(vecs[7], k=3)
+        assert len(idx) == 3
+        assert idx[0] == 7
+        assert scores[0] > 0.999          # self-query similarity ~ 1.0
+        assert meta[0]["id"] == "doc_7"
+
+    def test_query_returns_exactly_k(self, tmp_store_path, rng):
+        store, vecs = make_store(tmp_store_path, n=50, rng=rng)
+        for k in (1, 5, 50):
+            idx, scores, meta = store.query(vecs[0], k=k)
+            assert len(idx) == len(scores) == len(meta) == k
+
+    def test_k_clamped_to_count(self, tmp_store_path, rng):
+        store, vecs = make_store(tmp_store_path, n=3, rng=rng)
+        idx, _, _ = store.query(vecs[0], k=10)
+        assert len(idx) == 3
+
+    def test_empty_store_query(self, tmp_store_path, rng):
+        store, _ = make_store(tmp_store_path)
+        idx, scores, meta = store.query(rng.standard_normal(32), k=5)
+        assert idx == [] and scores == [] and meta == []
+
+    def test_dimension_mismatch_raises(self, tmp_store_path, rng):
+        store, _ = make_store(tmp_store_path)
+        with pytest.raises(ValueError):
+            store.add_vectors(rng.standard_normal((2, 7)))
+
+    def test_nan_rejected(self, tmp_store_path):
+        store, _ = make_store(tmp_store_path)
+        bad = np.full((1, 32), np.nan, np.float32)
+        with pytest.raises(ValueError):
+            store.add_vectors(bad)
+
+    def test_clear(self, tmp_store_path, rng):
+        store, _ = make_store(tmp_store_path, n=10, rng=rng)
+        store.clear()
+        assert len(store) == 0
+        assert store.query(rng.standard_normal(32), k=2) == ([], [], [])
+
+
+class TestGrowth:
+    def test_capacity_growth_preserves_results(self, tmp_store_path, rng):
+        store, _ = make_store(tmp_store_path, d=16, block_rows=64,
+                              initial_capacity=64, rng=rng)
+        all_vecs = []
+        for _ in range(5):  # force several capacity doublings
+            batch = rng.standard_normal((50, 16)).astype(np.float32)
+            store.add_vectors(batch)
+            all_vecs.append(batch)
+        flat = np.concatenate(all_vecs)
+        assert len(store) == 250
+        probe = flat[123]
+        idx, scores, _ = store.query(probe, k=1)
+        assert idx[0] == 123 and scores[0] > 0.999
+
+    def test_incremental_equals_bulk(self, tmp_store_path, tmp_path, rng):
+        vecs = rng.standard_normal((200, 24)).astype(np.float32)
+        inc, _ = make_store(tmp_store_path, d=24, block_rows=64,
+                            initial_capacity=64, rng=rng)
+        for i in range(0, 200, 37):
+            inc.add_vectors(vecs[i:i + 37])
+        bulk, _ = make_store(tmp_path / "bulk", d=24, rng=rng)
+        bulk.add_vectors(vecs)
+        q = rng.standard_normal((4, 24)).astype(np.float32)
+        r1 = inc.batch_query(q, k=5)
+        r2 = bulk.batch_query(q, k=5)
+        for (i1, s1, _), (i2, s2, _) in zip(r1, r2):
+            assert i1 == i2
+            np.testing.assert_allclose(s1, s2, atol=1e-4)
+
+
+class TestMetrics:
+    @pytest.mark.parametrize("metric", ["cosine", "euclidean", "dot_product"])
+    def test_ordering_matches_numpy(self, tmp_store_path, rng, metric):
+        d = 24
+        store, vecs = make_store(tmp_store_path, n=80, d=d, metric=metric, rng=rng)
+        q = rng.standard_normal(d).astype(np.float32)
+        idx, scores, _ = store.query(q, k=5)
+        if metric == "cosine":
+            ref = (q / np.linalg.norm(q)) @ (vecs / np.linalg.norm(
+                vecs, axis=1, keepdims=True)).T
+            want = np.argsort(-ref)[:5]
+        elif metric == "dot_product":
+            ref = vecs @ q
+            want = np.argsort(-ref)[:5]
+        else:
+            ref = np.linalg.norm(vecs - q, axis=1)
+            want = np.argsort(ref)[:5]
+        assert idx == want.tolist()
+        np.testing.assert_allclose(scores, ref[want], rtol=1e-3, atol=1e-3)
+
+
+class TestFilters:
+    def test_exact_match_filter(self, tmp_store_path, rng):
+        store, vecs = make_store(tmp_store_path, n=60, rng=rng)
+        idx, _, meta = store.query(vecs[0], k=10, filter_metadata={"cat": 1})
+        assert all(m["cat"] == 1 for m in meta)
+        assert all(i % 3 == 1 for i in idx)
+
+    def test_filter_no_match(self, tmp_store_path, rng):
+        store, vecs = make_store(tmp_store_path, n=10, rng=rng)
+        idx, scores, meta = store.query(vecs[0], k=5,
+                                        filter_metadata={"cat": 99})
+        assert idx == []
+
+    def test_multi_key_filter_is_conjunction(self, tmp_store_path, rng):
+        store, vecs = make_store(tmp_store_path, n=30, rng=rng)
+        idx, _, meta = store.query(
+            vecs[4], k=5, filter_metadata={"cat": 1, "id": "doc_4"})
+        assert idx == [4]
+
+
+class TestBatchQuery:
+    def test_batch_matches_single(self, tmp_store_path, rng):
+        store, vecs = make_store(tmp_store_path, n=100, rng=rng)
+        q = rng.standard_normal((8, 32)).astype(np.float32)
+        batch = store.batch_query(q, k=4)
+        for i in range(8):
+            single = store.query(q[i], k=4)
+            assert batch[i][0] == single[0]
+            np.testing.assert_allclose(batch[i][1], single[1], atol=1e-5)
+
+
+class TestPersistence:
+    def test_roundtrip(self, tmp_store_path, rng):
+        store, vecs = make_store(tmp_store_path, n=40, rng=rng,
+                                 persist_mode="sync")
+        q = vecs[11]
+        before = store.query(q, k=3)
+        del store
+        reloaded = TPUVectorStore(tmp_store_path,
+                                  VectorStoreConfig(dimension=32))
+        assert len(reloaded) == 40
+        after = reloaded.query(q, k=3)
+        assert before[0] == after[0]
+        np.testing.assert_allclose(before[1], after[1], atol=1e-5)
+        assert before[2] == after[2]
+
+    def test_lazy_flush(self, tmp_store_path, rng):
+        store, _ = make_store(tmp_store_path, n=10, rng=rng,
+                              persist_mode="lazy")
+        store.flush()
+        reloaded = TPUVectorStore(tmp_store_path,
+                                  VectorStoreConfig(dimension=32))
+        assert len(reloaded) == 10
+
+    def test_corrupt_vectors_falls_back_empty(self, tmp_store_path, rng):
+        store, _ = make_store(tmp_store_path, n=5, rng=rng, persist_mode="sync")
+        (tmp_store_path / "vectors.npz").write_bytes(b"garbage")
+        reloaded = TPUVectorStore(tmp_store_path,
+                                  VectorStoreConfig(dimension=32))
+        assert len(reloaded) == 0
+
+
+class TestOps:
+    def test_stats(self, tmp_store_path, rng):
+        store, _ = make_store(tmp_store_path, n=20, rng=rng)
+        s = store.get_stats()
+        assert s["vector_count"] == 20
+        assert s["dimension"] == 32
+        assert s["metric"] == "cosine"
+        assert s["index_type"] == "flat"
+        assert s["memory_usage_mb"] > 0
+
+    def test_optimize_and_warmup(self, tmp_store_path, rng):
+        store, vecs = make_store(tmp_store_path, n=20, rng=rng)
+        assert store.warmup()["warmed"]
+        out = store.optimize()
+        assert out["optimized"]
+        idx, _, _ = store.query(vecs[3], k=1)
+        assert idx == [3]
+
+    def test_bfloat16_storage(self, tmp_store_path, rng):
+        store, vecs = make_store(tmp_store_path, n=64, rng=rng,
+                                 storage_dtype="bfloat16")
+        idx, scores, _ = store.query(vecs[9], k=1)
+        assert idx == [9]
+        assert scores[0] > 0.99   # bf16 tolerance

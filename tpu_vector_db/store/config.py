@@ -1,0 +1,63 @@
+"""Store configuration.
+
+Parity with ``MLXVectorStoreConfig`` (reference
+service/optimized_vector_store.py:51-57: dimension=384, metric="cosine",
+enable_hnsw=False, jit_compile=True) plus the TPU-specific knobs the
+reference had no equivalent for (storage dtype, block size, persistence
+policy, sharding).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, asdict
+
+VALID_METRICS = ("cosine", "euclidean", "dot_product")
+VALID_DTYPES = ("float32", "bfloat16")
+VALID_PERSIST = ("sync", "lazy", "off")
+
+
+@dataclass
+class VectorStoreConfig:
+    dimension: int = 384
+    metric: str = "cosine"
+    # ANN index (TPU batched-beam-search graph; reference: enable_hnsw)
+    enable_ann: bool = False
+    ann_params: dict = field(default_factory=lambda: {
+        # same operating-point knobs as the reference's hnswlib wrapper
+        # (performance/hnsw_index.py:44,79): M, ef_construction, ef_search
+        "M": 16, "ef_construction": 200, "ef_search": 100,
+    })
+    # TPU storage dtype for the device-resident matrix. bf16 halves HBM
+    # traffic (the flat-scan bottleneck) at ~1e-3 score error.
+    storage_dtype: str = "float32"
+    # rows per streamed scan block; device capacity grows in these units
+    block_rows: int = 8192
+    initial_capacity: int = 8192
+    # "sync": write-through on every add (reference behavior,
+    # optimized_vector_store.py:218-223); "lazy": dirty-flag + explicit
+    # flush()/close(); "off": in-memory only.
+    persist_mode: str = "sync"
+    jit_compile: bool = True  # kept for config parity; scans are always jitted
+
+    def __post_init__(self) -> None:
+        if self.metric not in VALID_METRICS:
+            raise ValueError(
+                f"metric must be one of {VALID_METRICS}, got {self.metric!r}")
+        if self.storage_dtype not in VALID_DTYPES:
+            raise ValueError(
+                f"storage_dtype must be one of {VALID_DTYPES}, got "
+                f"{self.storage_dtype!r}")
+        if self.persist_mode not in VALID_PERSIST:
+            raise ValueError(
+                f"persist_mode must be one of {VALID_PERSIST}, got "
+                f"{self.persist_mode!r}")
+        if self.dimension < 1 or self.dimension > 8192:
+            raise ValueError(f"dimension out of range: {self.dimension}")
+
+    def to_dict(self) -> dict:
+        return asdict(self)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "VectorStoreConfig":
+        known = {k: v for k, v in d.items() if k in cls.__dataclass_fields__}
+        return cls(**known)
