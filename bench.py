@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""Headline benchmark — prints ONE JSON line.
+
+Config: 1M x 768D cosine flat scan, bf16 storage, batch-64 queries, top-10 —
+the reference's hardest published row at this dimension is 437.96 QPS / 2.28ms
+(README.md:68, M2/M3). vs_baseline = our QPS / 437.96.
+
+Method: the database is generated ON DEVICE (jax.random) because the harness
+TPU sits behind a network tunnel (~0.3 GB/s H2D, ~30ms per blocking call);
+sweeps are serialized by a data dependency (next batch derived from previous
+results) so pipelined dispatch can't overlap the thing being measured, and
+one device->host sync lands after the timed chain.
+"""
+
+import json
+import os
+import sys
+import time
+
+VERBOSE = bool(os.environ.get("BENCH_VERBOSE"))
+
+
+def _log(msg: str) -> None:
+    if VERBOSE:
+        print(msg, file=sys.stderr, flush=True)
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, ".")
+
+from tpu_vector_db.ops.scan import flat_scan_topk  # noqa: E402
+
+BASELINE_QPS = 437.96  # reference README.md:68 — 1M x 768D
+N, DIM, BATCH, K = 1_000_000, 768, 64, 10
+# large scan tile: short lax.scan = fast compile, still VMEM-pipelineable
+BLOCK = 131072
+
+
+def main() -> None:
+    on_tpu = jax.default_backend() == "tpu"
+    n = N if on_tpu else 100_000  # CPU fallback keeps the script runnable
+    n_pad = ((n + BLOCK - 1) // BLOCK) * BLOCK
+
+    key = jax.random.PRNGKey(0)
+    kd, kq = jax.random.split(key)
+
+    @jax.jit
+    def make_db(k):
+        db = jax.random.normal(k, (n_pad, DIM), jnp.float32)
+        # pre-normalized rows = the store's cosine fast path
+        norm = jnp.sqrt(jnp.sum(db * db, -1, keepdims=True))
+        return (db / jnp.maximum(norm, 1e-8)).astype(jnp.bfloat16)
+
+    db = make_db(kd)
+    q0 = jax.random.normal(kq, (BATCH, DIM), jnp.float32)
+    count = jnp.int32(n)
+    jax.block_until_ready(db)
+    _log("db ready")
+
+    @jax.jit
+    def step(q, db, acc):
+        # db is an ARGUMENT, not a closure: a captured device array would be
+        # embedded as an HLO constant and blow up compile time
+        keys, idx = flat_scan_topk(q, db, count, K, metric="cosine",
+                                   db_normalized=True, block_rows=BLOCK)
+        q2 = q + jnp.mean(keys) * 1e-6  # serialize successive sweeps
+        return q2, acc + jnp.sum(keys)
+
+    t0 = time.perf_counter()
+    q, acc = step(q0, db, jnp.float32(0))   # compile
+    float(acc)                              # hard sync
+    _log(f"compile+first {time.perf_counter()-t0:.1f}s")
+    for _ in range(5):                      # warm
+        q, acc = step(q, db, acc)
+    float(acc)
+    _log("warm done")
+
+    iters = 50 if on_tpu else 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        q, acc = step(q, db, acc)
+    float(acc)                              # one sync after the chain
+    dt = (time.perf_counter() - t0) / iters
+    qps = BATCH / dt
+
+    print(json.dumps({
+        "metric": f"flat_cosine_qps_{n//1000}Kx{DIM}D_b{BATCH}_k{K}_bf16",
+        "value": round(qps, 1),
+        "unit": "QPS",
+        "vs_baseline": round(qps / BASELINE_QPS, 2),
+        "latency_ms_per_batch": round(dt * 1e3, 3),
+        "backend": jax.default_backend(),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,115 @@
+"""Sharding tests on the virtual 8-device CPU mesh.
+
+The invariant SURVEY.md §4 prescribes: sharded local-top-k + ICI merge must
+EQUAL the single-device flat top-k (same indices, same scores).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tpu_vector_db.ops import distance as D
+from tpu_vector_db.ops.scan import flat_scan_topk
+from tpu_vector_db.parallel import ShardedVectorStore, make_device_mesh
+from tpu_vector_db.parallel.sharded_scan import make_sharded_query_fn
+from tpu_vector_db.store import TPUVectorStore, VectorStoreConfig
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert jax.device_count() >= 8, "conftest must provide 8 CPU devices"
+    return make_device_mesh(8)
+
+
+class TestShardedScan:
+    @pytest.mark.parametrize("metric", ["cosine", "euclidean", "dot_product"])
+    def test_sharded_equals_flat(self, mesh, rng, metric):
+        n_dev, block, d, q_n, k = 8, 64, 32, 5, 10
+        n = 3000
+        cap = ((n + block * n_dev - 1) // (block * n_dev)) * block * n_dev
+        db = np.zeros((cap, d), np.float32)
+        db[:n] = rng.standard_normal((n, d))
+        q = rng.standard_normal((q_n, d), dtype=np.float32)
+
+        dbj = jnp.asarray(db)
+        if metric == "cosine":
+            dbj = D.l2_normalize(dbj)
+        sq = jnp.sum(jnp.asarray(db) ** 2, axis=-1) if metric == "euclidean" else None
+
+        ref_keys, ref_idx = flat_scan_topk(
+            jnp.asarray(q), dbj, jnp.int32(n), k, metric=metric,
+            db_normalized=True, db_sqnorms=sq, block_rows=block)
+
+        fn, _ = make_sharded_query_fn(
+            mesh, k, metric=metric, db_normalized=True,
+            with_sqnorms=(sq is not None), block_rows=block)
+        from tpu_vector_db.parallel.mesh import row_sharding, replicated
+        db_sh = jax.device_put(dbj, row_sharding(mesh))
+        qr = jax.device_put(jnp.asarray(q), replicated(mesh))
+        args = (qr, db_sh, jnp.int32(n)) + ((jax.device_put(
+            sq, jax.sharding.NamedSharding(
+                mesh, jax.sharding.PartitionSpec("shard"))),) if sq is not None else ())
+        keys, idx = fn(*args)
+
+        np.testing.assert_allclose(np.asarray(keys), np.asarray(ref_keys),
+                                   atol=1e-4)
+        # ties can permute equal-score indices; check score-equivalence
+        assert np.allclose(np.asarray(keys), np.asarray(ref_keys), atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
+
+
+class TestShardedStore:
+    def test_store_equivalence(self, tmp_path, rng):
+        d, n = 24, 500
+        vecs = rng.standard_normal((n, d)).astype(np.float32)
+        meta = [{"i": i, "grp": i % 4} for i in range(n)]
+
+        cfg = dict(dimension=d, block_rows=64, initial_capacity=64,
+                   persist_mode="off")
+        flat = TPUVectorStore(tmp_path / "flat", VectorStoreConfig(**cfg))
+        shard = ShardedVectorStore(tmp_path / "shard",
+                                   VectorStoreConfig(**cfg),
+                                   mesh=make_device_mesh(8))
+        flat.add_vectors(vecs, meta)
+        shard.add_vectors(vecs, meta)
+
+        q = rng.standard_normal((6, d)).astype(np.float32)
+        rf = flat.batch_query(q, k=7)
+        rs = shard.batch_query(q, k=7)
+        for (i1, s1, m1), (i2, s2, m2) in zip(rf, rs):
+            assert i1 == i2
+            np.testing.assert_allclose(s1, s2, atol=1e-4)
+            assert m1 == m2
+
+    def test_sharded_filter(self, tmp_path, rng):
+        d = 16
+        shard = ShardedVectorStore(
+            tmp_path / "s", VectorStoreConfig(
+                dimension=d, block_rows=64, initial_capacity=64,
+                persist_mode="off"),
+            mesh=make_device_mesh(8))
+        vecs = rng.standard_normal((300, d)).astype(np.float32)
+        shard.add_vectors(vecs, [{"grp": i % 3} for i in range(300)])
+        idx, _, meta = shard.query(vecs[0], k=5, filter_metadata={"grp": 2})
+        assert len(idx) == 5
+        assert all(m["grp"] == 2 for m in meta)
+
+    def test_sharded_incremental_add(self, tmp_path, rng):
+        d = 16
+        shard = ShardedVectorStore(
+            tmp_path / "s", VectorStoreConfig(
+                dimension=d, block_rows=64, initial_capacity=64,
+                persist_mode="off"),
+            mesh=make_device_mesh(8))
+        all_v = []
+        for _ in range(4):
+            v = rng.standard_normal((200, d)).astype(np.float32)
+            shard.add_vectors(v)
+            all_v.append(v)
+        flatv = np.concatenate(all_v)
+        idx, scores, _ = shard.query(flatv[555], k=1)
+        assert idx == [555] and scores[0] > 0.999
+        stats = shard.get_stats()
+        assert stats["sharded"] and stats["n_devices"] == 8

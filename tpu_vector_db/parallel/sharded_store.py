@@ -1,0 +1,130 @@
+"""ShardedVectorStore — a TPUVectorStore whose matrix spans a device mesh.
+
+Same API, metadata semantics, and persistence contract as the single-chip
+store; only the device residency changes: rows shard across the mesh
+(NamedSharding (shard, None)), queries replicate, and the query path is the
+shard_map scan in parallel/sharded_scan.py (local top-k + ICI all-gather
+merge). This is the 10M×128D-on-v5e-8 configuration from BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_vector_db.ops import distance as D
+from tpu_vector_db.parallel.mesh import (
+    SHARD_AXIS, make_device_mesh, replicated, row_sharding)
+from tpu_vector_db.parallel.sharded_scan import make_sharded_query_fn
+from tpu_vector_db.store.config import VectorStoreConfig
+from tpu_vector_db.store.vector_store import TPUVectorStore
+from tpu_vector_db.utils.validation import validate_vector_shape
+
+logger = logging.getLogger(__name__)
+
+
+class ShardedVectorStore(TPUVectorStore):
+    def __init__(self, store_path, config: VectorStoreConfig | None = None,
+                 mesh=None) -> None:
+        self.mesh = mesh if mesh is not None else make_device_mesh()
+        self._n_dev = self.mesh.devices.size
+        self._row_sharding = row_sharding(self.mesh)
+        self._replicated = replicated(self.mesh)
+        self._query_fns: dict = {}
+        super().__init__(store_path, config)
+
+    # capacity must split evenly into per-shard block_rows multiples
+    def _capacity_for(self, n: int) -> int:
+        unit = self._block * self._n_dev
+        cap = max(unit, self.config.initial_capacity)
+        while cap < n:
+            cap *= 2
+        return ((cap + unit - 1) // unit) * unit
+
+    def _reset_device(self, capacity: int) -> None:
+        """(Re)materialize the sharded device matrix from host state.
+
+        Appends re-place the whole buffer (one H2D per add batch). Adds are
+        the cold path; queries never move row data.
+        """
+        self._cap = capacity
+        host = np.zeros((capacity, self._d_pad), np.float32)
+        if self._count:
+            prepared = self._prepare_block(self._host_buf[: self._count])
+            host[: self._count] = np.asarray(prepared, np.float32)
+        dtype = jnp.bfloat16 if self.config.storage_dtype == "bfloat16" else jnp.float32
+        self._db = jax.device_put(jnp.asarray(host, dtype), self._row_sharding)
+        if self.metric == "euclidean":
+            sq = np.zeros((capacity,), np.float32)
+            if self._count:
+                live = self._host_buf[: self._count].astype(np.float32)
+                sq[: self._count] = np.sum(live * live, axis=-1)
+            self._sqnorms = jax.device_put(
+                jnp.asarray(sq), jax.sharding.NamedSharding(
+                    self.mesh, jax.sharding.PartitionSpec(SHARD_AXIS)))
+        else:
+            self._sqnorms = None
+
+    def add_vectors(self, vectors, metadata=None) -> dict:
+        # full re-placement path: in-place dynamic_update_slice on a sharded
+        # buffer would route through XLA scatter across shards
+        from tpu_vector_db.utils.validation import validate_vector_shape
+        arr = validate_vector_shape(vectors, self.config.dimension)
+        n = arr.shape[0]
+        if metadata is None:
+            metadata = [{} for _ in range(n)]
+        if len(metadata) != n:
+            raise ValueError(f"metadata length {len(metadata)} != vectors {n}")
+        with self._lock:
+            new_count = self._count + n
+            self._ensure_host_cap(new_count)
+            self._host_buf[self._count: new_count] = arr
+            self._metadata.extend(metadata)
+            self._count = new_count
+            self._reset_device(self._capacity_for(new_count))
+            self._ann_stale = True
+            self._dirty = True
+            if self.config.persist_mode == "sync":
+                self._save()
+        return {"added": n, "total": self._count}
+
+    def _filter_mask(self, filter_metadata: dict):
+        mask = super()._filter_mask(filter_metadata)
+        return jax.device_put(mask, jax.sharding.NamedSharding(
+            self.mesh, jax.sharding.PartitionSpec(SHARD_AXIS)))
+
+    def _get_query_fn(self, k: int, with_filter: bool):
+        key = (k, with_filter, self._cap)
+        if key not in self._query_fns:
+            fn, _ = make_sharded_query_fn(
+                self.mesh, k, metric=self.metric,
+                db_normalized=(self.metric == "cosine"),
+                with_sqnorms=(self._sqnorms is not None),
+                with_filter=with_filter,
+                block_rows=self._block)
+            self._query_fns[key] = fn
+        return self._query_fns[key]
+
+    def _flat_topk(self, queries: np.ndarray, k: int, filter_mask):
+        q = jax.device_put(
+            D.pad_dim(jnp.asarray(queries, jnp.float32)), self._replicated)
+        count = jax.device_put(jnp.int32(self._count), self._replicated)
+        fn = self._get_query_fn(k, filter_mask is not None)
+        args = [q, self._db, count]
+        if self._sqnorms is not None:
+            args.append(self._sqnorms)
+        if filter_mask is not None:
+            args.append(filter_mask)
+        keys, idx = fn(*args)
+        return np.asarray(keys), np.asarray(idx)
+
+    def get_stats(self) -> dict:
+        stats = super().get_stats()
+        stats["sharded"] = True
+        stats["n_devices"] = self._n_dev
+        stats["rows_per_shard"] = self._cap // self._n_dev
+        return stats

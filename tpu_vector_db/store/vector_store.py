@@ -227,6 +227,16 @@ class TPUVectorStore:
                 mask[i] = True
         return jnp.asarray(mask)
 
+    def _scan_block(self) -> int:
+        """Scan tile for queries: as large as divides capacity, up to 128K
+        rows. Small tiles make the lax.scan long (128+ iterations at 1M rows
+        compiles in minutes on TPU); capacity granularity stays at
+        config.block_rows independently."""
+        b = self._block
+        while b * 2 <= min(self._cap, 131072) and self._cap % (b * 2) == 0:
+            b *= 2
+        return b
+
     def _flat_topk(self, queries: np.ndarray, k: int,
                    filter_mask: jnp.ndarray | None):
         q = D.pad_dim(jnp.asarray(queries, jnp.float32))
@@ -236,7 +246,7 @@ class TPUVectorStore:
             db_normalized=(self.metric == "cosine"),
             db_sqnorms=self._sqnorms,
             filter_mask=filter_mask,
-            block_rows=self._block,
+            block_rows=self._scan_block(),
         )
         packed = np.asarray(packed)  # the one blocking D2H
         kk = packed.shape[-1] // 2
