@@ -8,6 +8,10 @@ the driver's dryrun_multichip does the same via __graft_entry__.py.
 
 import os
 
+# deterministic auth for API tests (must precede tpu_vector_db imports)
+os.environ.setdefault("VECTOR_DB_API_KEY", "tvdb_test_api_key_0123456789abc")
+os.environ.setdefault("VECTOR_DB_ADMIN_KEY", "tvdb_admin_test_key_0123456789")
+
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (

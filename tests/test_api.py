@@ -1,0 +1,291 @@
+"""In-process REST API integration tests.
+
+Models the reference's best behavioral spec (tests/test_integration.py:46-173:
+create store -> add -> count -> self-query top-1 > 0.999 -> filtered query ->
+cleanup, against the real app with no mocked backend) and extends it to the
+surfaces the reference never exercised: batch_query, the v1 batch API with
+progress/SSE, auth failures, rate-limit headers, metrics exposition.
+"""
+
+import asyncio
+import io
+import json
+
+import numpy as np
+import pytest
+from aiohttp.test_utils import TestClient, TestServer
+
+API_KEY = "tvdb_test_api_key_0123456789abc"
+ADMIN_KEY = "tvdb_admin_test_key_0123456789"
+AUTH = {"Authorization": f"Bearer {API_KEY}"}
+ADMIN = {"Authorization": f"Bearer {ADMIN_KEY}"}
+
+
+def run(coro):
+    return asyncio.run(coro)
+
+
+@pytest.fixture
+def client_factory(tmp_path):
+    """Builds (app, client) inside the running loop; caller closes."""
+    def make():
+        from tpu_vector_db.api.app import create_app
+        from tpu_vector_db.service.manager import VectorStoreManager
+        manager = VectorStoreManager(base_path=tmp_path / "stores")
+        app = create_app(manager=manager)
+        return TestClient(TestServer(app))
+    return make
+
+
+def test_banner_and_health(client_factory):
+    async def go():
+        async with client_factory() as client:
+            r = await client.get("/")
+            assert r.status == 200
+            body = await r.json()
+            assert body["service"] == "tpu-vector-db"
+
+            r = await client.get("/health")
+            assert r.status == 200
+            body = await r.json()
+            assert body["status"] in ("healthy", "degraded")
+            assert "X-Response-Time" in r.headers
+    run(go())
+
+
+def test_auth_required(client_factory):
+    async def go():
+        async with client_factory() as client:
+            r = await client.post("/vectors/add", json={})
+            assert r.status == 401
+            r = await client.post("/vectors/add", json={}, headers={
+                "Authorization": "Bearer wrong-key"})
+            assert r.status == 401
+            # admin route rejects plain API key by default
+            r = await client.post("/admin/create_store", json={}, headers=AUTH)
+            assert r.status == 403
+    run(go())
+
+
+def test_full_lifecycle(client_factory, rng):
+    async def go():
+        async with client_factory() as client:
+            # create
+            r = await client.post("/admin/create_store", headers=ADMIN, json={
+                "user_id": "alice", "model_id": "m1", "dimension": 64})
+            assert r.status == 201
+
+            # duplicate -> 409
+            r = await client.post("/admin/create_store", headers=ADMIN, json={
+                "user_id": "alice", "model_id": "m1", "dimension": 64})
+            assert r.status == 409
+
+            vectors = rng.standard_normal((100, 64)).astype(np.float32)
+            r = await client.post("/vectors/add", headers=AUTH, json={
+                "user_id": "alice", "model_id": "m1",
+                "vectors": vectors.tolist(),
+                "metadata": [{"doc": f"doc_{i}", "lang": "en" if i % 2 else "de"}
+                             for i in range(100)]})
+            assert r.status == 200
+            assert (await r.json())["total"] == 100
+
+            r = await client.get("/vectors/count",
+                                 params={"user_id": "alice", "model_id": "m1"},
+                                 headers=AUTH)
+            assert (await r.json())["count"] == 100
+
+            # self-query: top-1 must be itself with similarity ~ 1.0
+            r = await client.post("/vectors/query", headers=AUTH, json={
+                "user_id": "alice", "model_id": "m1",
+                "query": vectors[7].tolist(), "k": 5})
+            body = await r.json()
+            assert r.status == 200
+            top = body["results"][0]
+            assert top["index"] == 7
+            assert top["similarity"] > 0.999
+            assert top["metadata"]["doc"] == "doc_7"
+            assert abs(top["distance"] - (1 - top["similarity"])) < 1e-5
+
+            # filtered query
+            r = await client.post("/vectors/query", headers=AUTH, json={
+                "user_id": "alice", "model_id": "m1",
+                "query": vectors[7].tolist(), "k": 5,
+                "filter_metadata": {"lang": "de"}})
+            body = await r.json()
+            assert all(res["metadata"]["lang"] == "de"
+                       for res in body["results"])
+
+            # batch query (reference's 500-at-runtime surface, §2.1)
+            r = await client.post("/vectors/batch_query", headers=AUTH, json={
+                "user_id": "alice", "model_id": "m1",
+                "queries": vectors[:4].tolist(), "k": 3})
+            body = await r.json()
+            assert r.status == 200
+            assert len(body["results"]) == 4
+            assert body["results"][2][0]["index"] == 2
+
+            # stats include memory usage (reference omitted it, §2.1)
+            r = await client.get("/vectors/stats",
+                                 params={"user_id": "alice", "model_id": "m1"},
+                                 headers=AUTH)
+            assert (await r.json())["memory_usage_mb"] > 0
+
+            # delete non-empty requires force
+            r = await client.delete("/admin/store", headers=ADMIN, json={
+                "user_id": "alice", "model_id": "m1"})
+            assert r.status == 409
+            r = await client.delete("/admin/store", headers=ADMIN, json={
+                "user_id": "alice", "model_id": "m1", "force": True})
+            assert r.status == 200
+    run(go())
+
+
+def test_validation_errors(client_factory):
+    async def go():
+        async with client_factory() as client:
+            r = await client.post("/vectors/query", headers=AUTH, json={
+                "user_id": "u", "model_id": "m", "query": [0.0] * 8, "k": 0})
+            assert r.status == 422
+            r = await client.post("/vectors/add", headers=AUTH, json={
+                "user_id": "u", "model_id": "m", "vectors": []})
+            assert r.status == 422
+            r = await client.post("/vectors/query", headers=AUTH,
+                                  data=b"not json")
+            assert r.status == 400
+            # query against a store that doesn't exist -> 404
+            r = await client.post("/vectors/query", headers=AUTH, json={
+                "user_id": "ghost", "model_id": "none",
+                "query": [0.0] * 8, "k": 3})
+            assert r.status == 404
+    run(go())
+
+
+def test_batch_v1_progress_and_sse(client_factory, rng):
+    async def go():
+        async with client_factory() as client:
+            vectors = rng.standard_normal((500, 32)).astype(np.float32)
+            r = await client.post("/admin/create_store", headers=ADMIN, json={
+                "user_id": "bob", "model_id": "mb", "dimension": 32})
+            assert r.status == 201
+            r = await client.post("/v1/batch/add", headers=AUTH, json={
+                "user_id": "bob", "model_id": "mb",
+                "vectors": vectors.tolist(), "chunk_size": 100})
+            assert r.status == 202
+            op_id = (await r.json())["op_id"]
+
+            # poll until completed
+            for _ in range(100):
+                r = await client.get(f"/v1/batch/operations/{op_id}",
+                                     headers=AUTH)
+                body = await r.json()
+                if body["status"] == "completed":
+                    break
+                await asyncio.sleep(0.05)
+            assert body["status"] == "completed"
+            assert body["result"]["added"] == 500
+            assert body["progress"]["percent"] == 100.0
+
+            # operation listing
+            r = await client.get("/v1/batch/operations", headers=AUTH)
+            assert any(o["op_id"] == op_id
+                       for o in (await r.json())["operations"])
+
+            # SSE stream of a finished op yields at least one event + done
+            r = await client.get(f"/v1/batch/operations/{op_id}/stream",
+                                 headers=AUTH)
+            text = (await r.read()).decode()
+            assert "data: " in text and "event: done" in text
+
+            # chunked batch query
+            r = await client.post("/v1/batch/query", headers=AUTH, json={
+                "user_id": "bob", "model_id": "mb",
+                "queries": vectors[:10].tolist(), "k": 2, "chunk_size": 4})
+            body = await r.json()
+            assert len(body["results"]) == 10
+            assert body["results"][3][0]["index"] == 3
+    run(go())
+
+
+def test_bulk_upload_npz(client_factory, rng):
+    async def go():
+        async with client_factory() as client:
+            import aiohttp
+            vectors = rng.standard_normal((50, 16)).astype(np.float32)
+            buf = io.BytesIO()
+            np.savez(buf, vectors=vectors)
+            meta_lines = "\n".join(json.dumps({"i": i}) for i in range(50))
+
+            form = aiohttp.FormData()
+            form.add_field("user_id", "carol")
+            form.add_field("model_id", "up1")
+            form.add_field("vectors", buf.getvalue(),
+                           filename="vectors.npz",
+                           content_type="application/octet-stream")
+            form.add_field("metadata", meta_lines.encode(),
+                           filename="metadata.jsonl",
+                           content_type="application/jsonl")
+            r = await client.post("/v1/batch/upload", headers=AUTH, data=form)
+            assert r.status == 202
+            op_id = (await r.json())["op_id"]
+            for _ in range(100):
+                body = await (await client.get(
+                    f"/v1/batch/operations/{op_id}", headers=AUTH)).json()
+                if body["status"] in ("completed", "failed"):
+                    break
+                await asyncio.sleep(0.05)
+            assert body["status"] == "completed"
+
+            r = await client.post("/vectors/query", headers=AUTH, json={
+                "user_id": "carol", "model_id": "up1",
+                "query": vectors[3].tolist(), "k": 1})
+            body = await r.json()
+            assert body["results"][0]["index"] == 3
+            assert body["results"][0]["metadata"] == {"i": 3}
+    run(go())
+
+
+def test_monitoring_and_metrics(client_factory):
+    async def go():
+        async with client_factory() as client:
+            r = await client.get("/monitoring/health")
+            assert r.status in (200, 503)
+            r = await client.get("/monitoring/metrics", headers=AUTH)
+            assert "summary" in await r.json()
+            r = await client.get("/monitoring/prometheus", headers=AUTH)
+            text = await r.text()
+            assert "http_requests_total" in text
+            assert "# TYPE" in text
+            r = await client.get("/monitoring/status", headers=AUTH)
+            assert "backend" in await r.json()
+    run(go())
+
+
+def test_rate_limit_headers_present(client_factory):
+    async def go():
+        async with client_factory() as client:
+            r = await client.get("/vectors/count",
+                                 params={"user_id": "x", "model_id": "y"},
+                                 headers=AUTH)
+            # 404 (no store) but rate-limit headers still attached
+            assert "X-RateLimit-Limit" in r.headers
+    run(go())
+
+
+def test_performance_routes(client_factory, rng):
+    async def go():
+        async with client_factory() as client:
+            r = await client.get("/performance/health", headers=AUTH)
+            assert (await r.json())["status"] == "healthy"
+            r = await client.post("/admin/create_store", headers=ADMIN, json={
+                "user_id": "perf", "model_id": "p1", "dimension": 16})
+            assert r.status == 201
+            await client.post("/vectors/add", headers=AUTH, json={
+                "user_id": "perf", "model_id": "p1",
+                "vectors": rng.standard_normal((20, 16)).tolist()})
+            r = await client.post("/performance/warmup", headers=AUTH, json={
+                "user_id": "perf", "model_id": "p1"})
+            assert r.status == 200
+            r = await client.post("/performance/optimize", headers=AUTH, json={
+                "user_id": "perf", "model_id": "p1"})
+            assert (await r.json())["optimized"]
+    run(go())

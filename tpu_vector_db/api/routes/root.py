@@ -1,0 +1,126 @@
+"""Root/info endpoints: banner, /health, /system/info, /config, /debug/*.
+
+Parity with reference main.py:211-363.
+"""
+
+from __future__ import annotations
+
+import os
+import platform
+import time
+
+from aiohttp import web
+
+from tpu_vector_db.service.error_handler import get_error_handler
+
+
+def register(app: web.Application) -> None:
+    app.router.add_get("/", banner)
+    app.router.add_get("/health", health)
+    app.router.add_get("/system/info", system_info)
+    app.router.add_get("/config", config)
+    if os.environ.get("ENVIRONMENT", "development") == "development":
+        app.router.add_get("/debug/routes", debug_routes)
+        app.router.add_get("/debug/device", debug_device)
+
+
+async def banner(request: web.Request) -> web.Response:
+    return web.json_response({
+        "service": "tpu-vector-db",
+        "version": request.app["version"],
+        "description": "TPU-native vector index-and-query engine",
+        "features": [
+            "flat exact search (cosine / euclidean / dot)",
+            "beam-graph ANN index (HNSW-class, TPU batched beam search)",
+            "multi-tenant stores with metadata filtering",
+            "bf16 storage / MXU-fused scans",
+            "mesh sharding with cross-chip top-k merge",
+            "batch API with progress + SSE",
+            "tiered rate limiting, metrics, structured logging",
+        ],
+        "docs": {"health": "/health", "metrics": "/monitoring/prometheus"},
+    })
+
+
+async def health(request: web.Request) -> web.Response:
+    checks = request.app["health_checker"].run_all()
+    stats = request.app["manager"].get_stats()
+    handler_health = get_error_handler().health_check()
+    body = {
+        "status": checks["status"],
+        "timestamp": time.time(),
+        "uptime_s": round(time.time() - request.app["started_at"], 1),
+        "checks": checks["checks"],
+        "stores": {"loaded": stats["loaded_stores"],
+                   "total_vectors": stats["total_vectors"]},
+        "requests": {
+            "total": request.app["request_stats"].total,
+            "avg_ms": round(request.app["request_stats"].avg_ms, 2),
+        },
+        "resilience": {"score": handler_health["score"],
+                       "status": handler_health["status"]},
+    }
+    status_code = 200 if checks["status"] != "unhealthy" else 503
+    return web.json_response(body, status=status_code)
+
+
+async def system_info(request: web.Request) -> web.Response:
+    import psutil
+    vm = psutil.virtual_memory()
+    info = {
+        "platform": platform.platform(),
+        "python": platform.python_version(),
+        "cpu_count": os.cpu_count(),
+        "memory": {"total_gb": round(vm.total / 2**30, 2),
+                   "available_gb": round(vm.available / 2**30, 2),
+                   "percent": vm.percent},
+    }
+    try:
+        import jax
+        info["accelerator"] = {
+            "backend": jax.default_backend(),
+            "device_count": jax.device_count(),
+            "devices": [str(d) for d in jax.devices()],
+        }
+    except Exception as exc:  # noqa: BLE001
+        info["accelerator"] = {"error": str(exc)}
+    return web.json_response(info)
+
+
+async def config(request: web.Request) -> web.Response:
+    import jax
+    return web.json_response({
+        "environment": os.environ.get("ENVIRONMENT", "development"),
+        "backend": jax.default_backend(),
+        "device_count": jax.device_count(),
+        "features": {
+            "ann_index": True,
+            "batch_api": True,
+            "sse_progress": True,
+            "rate_limiting": True,
+            "metrics": True,
+            "sharding": True,
+        },
+        "limits": {"max_k": 1000, "max_dimension": 8192,
+                   "max_upload_mb": 512},
+    })
+
+
+async def debug_routes(request: web.Request) -> web.Response:
+    routes = [{"method": r.method, "path": r.resource.canonical}
+              for r in request.app.router.routes()
+              if r.resource is not None]
+    return web.json_response({"routes": routes, "count": len(routes)})
+
+
+async def debug_device(request: web.Request) -> web.Response:
+    import jax
+    import jax.numpy as jnp
+    t0 = time.perf_counter()
+    x = jnp.ones((256, 256))
+    jax.block_until_ready(x @ x)
+    return web.json_response({
+        "backend": jax.default_backend(),
+        "devices": [str(d) for d in jax.devices()],
+        "matmul_probe_ms": round((time.perf_counter() - t0) * 1e3, 2),
+    })

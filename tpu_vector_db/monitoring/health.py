@@ -1,0 +1,82 @@
+"""Pluggable health checks with overall-status rollup.
+
+Capability parity with reference monitoring/metrics.py:298-404 (HealthChecker
+with device / disk / memory / cache checks) — minus its bug (the reference
+imported a nonexistent performance.vector_cache module, :364). The device
+check probes the JAX backend with a tiny computation instead of MLX.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from typing import Callable
+
+
+class HealthChecker:
+    def __init__(self) -> None:
+        self._checks: dict[str, Callable[[], dict]] = {}
+        self._lock = threading.Lock()
+        self.register("device", self._check_device)
+        self.register("disk", self._check_disk)
+        self.register("memory", self._check_memory)
+
+    def register(self, name: str, fn: Callable[[], dict]) -> None:
+        with self._lock:
+            self._checks[name] = fn
+
+    # ------------------------------------------------------- builtin checks
+
+    @staticmethod
+    def _check_device() -> dict:
+        try:
+            import jax
+            import jax.numpy as jnp
+            t0 = time.perf_counter()
+            x = jnp.ones((8, 8))
+            jax.block_until_ready(x @ x)
+            return {"healthy": True,
+                    "backend": jax.default_backend(),
+                    "device_count": jax.device_count(),
+                    "probe_ms": round((time.perf_counter() - t0) * 1e3, 2)}
+        except Exception as exc:  # noqa: BLE001
+            return {"healthy": False, "error": str(exc)}
+
+    @staticmethod
+    def _check_disk(min_free_fraction: float = 0.05) -> dict:
+        try:
+            import psutil
+            usage = psutil.disk_usage("/")
+            free_frac = usage.free / usage.total
+            return {"healthy": free_frac >= min_free_fraction,
+                    "free_percent": round(free_frac * 100, 1)}
+        except Exception as exc:  # noqa: BLE001
+            return {"healthy": False, "error": str(exc)}
+
+    @staticmethod
+    def _check_memory(max_used_fraction: float = 0.95) -> dict:
+        try:
+            import psutil
+            vm = psutil.virtual_memory()
+            return {"healthy": vm.percent / 100.0 <= max_used_fraction,
+                    "used_percent": vm.percent}
+        except Exception as exc:  # noqa: BLE001
+            return {"healthy": False, "error": str(exc)}
+
+    # --------------------------------------------------------------- rollup
+
+    def run_all(self) -> dict:
+        with self._lock:
+            checks = dict(self._checks)
+        results = {}
+        for name, fn in checks.items():
+            try:
+                results[name] = fn()
+            except Exception as exc:  # noqa: BLE001
+                results[name] = {"healthy": False, "error": str(exc)}
+        healthy = sum(1 for r in results.values() if r.get("healthy"))
+        total = len(results)
+        status = ("healthy" if healthy == total else
+                  "degraded" if healthy >= total - 1 else "unhealthy")
+        return {"status": status, "checks": results,
+                "timestamp": time.time()}

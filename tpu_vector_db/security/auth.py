@@ -1,0 +1,108 @@
+"""Bearer-token auth with constant-time comparison.
+
+Capability parity with reference security/auth.py:34-195: two keys from env
+(VECTOR_DB_API_KEY / VECTOR_DB_ADMIN_KEY) with generated dev defaults,
+secrets.compare_digest checks, admin accepting the service key policy made
+EXPLICIT (the reference quietly allowed it, :98-103 — here it's an opt-in
+flag), key generation/hash/format helpers, and framework-agnostic verify
+functions the aiohttp middleware calls (the reference bound these to FastAPI
+dependencies).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import logging
+import os
+import secrets
+from dataclasses import dataclass, field
+
+logger = logging.getLogger(__name__)
+
+KEY_PREFIX = "tvdb_"
+KEY_BYTES = 24
+
+
+def generate_api_key(prefix: str = KEY_PREFIX) -> str:
+    return prefix + secrets.token_urlsafe(KEY_BYTES)
+
+
+def hash_api_key(key: str) -> str:
+    return hashlib.sha256(key.encode()).hexdigest()
+
+
+def validate_key_format(key: str) -> bool:
+    return (isinstance(key, str) and key.startswith(KEY_PREFIX)
+            and len(key) >= len(KEY_PREFIX) + 16)
+
+
+@dataclass
+class AuthConfig:
+    api_key: str = ""
+    admin_key: str = ""
+    # whether the plain service key is accepted for admin routes
+    admin_accepts_api_key: bool = False
+    dev_mode: bool = False
+    generated: bool = field(default=False, repr=False)
+
+    @classmethod
+    def from_env(cls) -> "AuthConfig":
+        env = os.environ
+        dev = env.get("ENVIRONMENT", "development") != "production"
+        api_key = env.get("VECTOR_DB_API_KEY", "")
+        admin_key = env.get("VECTOR_DB_ADMIN_KEY", "")
+        generated = False
+        if not api_key:
+            if not dev:
+                raise RuntimeError(
+                    "VECTOR_DB_API_KEY must be set in production")
+            api_key = generate_api_key()
+            generated = True
+            logger.warning("dev API key generated: %s", api_key)
+        if not admin_key:
+            if not dev:
+                raise RuntimeError(
+                    "VECTOR_DB_ADMIN_KEY must be set in production")
+            admin_key = generate_api_key(KEY_PREFIX + "admin_")
+            generated = True
+            logger.warning("dev admin key generated: %s", admin_key)
+        return cls(api_key=api_key, admin_key=admin_key,
+                   admin_accepts_api_key=env.get(
+                       "VECTOR_DB_ADMIN_ACCEPTS_API_KEY", "0") == "1",
+                   dev_mode=dev, generated=generated)
+
+
+auth_config = AuthConfig.from_env()
+
+
+def _extract_bearer(header_value: str | None) -> str | None:
+    if not header_value:
+        return None
+    parts = header_value.split(None, 1)
+    if len(parts) == 2 and parts[0].lower() == "bearer":
+        return parts[1].strip()
+    return header_value.strip()  # raw key / X-API-Key style
+
+
+def verify_api_key(authorization: str | None,
+                   config: AuthConfig | None = None) -> bool:
+    """Constant-time check of the service key (admin key also accepted —
+    higher privilege implies lower)."""
+    cfg = config or auth_config
+    token = _extract_bearer(authorization)
+    if token is None:
+        return False
+    return (secrets.compare_digest(token, cfg.api_key) or
+            secrets.compare_digest(token, cfg.admin_key))
+
+
+def verify_admin_key(authorization: str | None,
+                     config: AuthConfig | None = None) -> bool:
+    cfg = config or auth_config
+    token = _extract_bearer(authorization)
+    if token is None:
+        return False
+    if secrets.compare_digest(token, cfg.admin_key):
+        return True
+    return cfg.admin_accepts_api_key and secrets.compare_digest(
+        token, cfg.api_key)

@@ -1,0 +1,206 @@
+"""Multi-tenant store manager.
+
+Capability parity with BOTH reference managers (SURVEY.md §2.D):
+VectorStoreManager (api/routes/vectors.py:37-144 — lazy get, thread-pool
+offload, warmup_all_stores, aggregate stats, singleton) and
+ProductionVectorStoreManager (service/production_integration.py:39-128 —
+explicit create/delete with rmtree, async add/query, owned error handler).
+One class, wired to the error handler and circuit breakers for real.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import logging
+import os
+import shutil
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+
+from tpu_vector_db.service.error_handler import get_error_handler
+from tpu_vector_db.store.config import VectorStoreConfig
+from tpu_vector_db.store.vector_store import TPUVectorStore
+
+logger = logging.getLogger(__name__)
+
+DEFAULT_BASE = os.environ.get(
+    "VECTOR_DB_DATA_DIR", str(Path.home() / ".tpu_vector_db" / "stores"))
+
+
+class VectorStoreManager:
+    """Registry of tenant stores keyed (user_id, model_id)."""
+
+    def __init__(self, base_path: str | os.PathLike = DEFAULT_BASE,
+                 max_workers: int = 4, sharded: bool = False) -> None:
+        self.base_path = Path(base_path)
+        self._stores: dict[tuple[str, str], TPUVectorStore] = {}
+        self._lock = threading.Lock()
+        # worker pool keeps device work off the event loop AND pipelines
+        # concurrent queries into the TPU stream (async dispatch overlaps)
+        self.executor = ThreadPoolExecutor(
+            max_workers=max_workers, thread_name_prefix="vdb-worker")
+        self.errors = get_error_handler()
+        self._sharded = sharded
+
+    # ------------------------------------------------------------ lifecycle
+
+    def _store_path(self, user_id: str, model_id: str) -> Path:
+        safe = lambda s: "".join(  # noqa: E731
+            c if c.isalnum() or c in "-_." else "_" for c in s)
+        return self.base_path / safe(user_id) / safe(model_id)
+
+    def _make_store(self, path: Path, config: VectorStoreConfig):
+        if self._sharded:
+            from tpu_vector_db.parallel.sharded_store import ShardedVectorStore
+            return ShardedVectorStore(path, config)
+        return TPUVectorStore(path, config)
+
+    def store_exists(self, user_id: str, model_id: str) -> bool:
+        with self._lock:
+            if (user_id, model_id) in self._stores:
+                return True
+        return (self._store_path(user_id, model_id) / "manifest.json").exists()
+
+    def get_store(self, user_id: str, model_id: str,
+                  config: VectorStoreConfig | None = None,
+                  create: bool = True) -> TPUVectorStore:
+        key = (user_id, model_id)
+        with self._lock:
+            store = self._stores.get(key)
+            if store is not None:
+                return store
+            path = self._store_path(user_id, model_id)
+            if not create and not (path / "manifest.json").exists():
+                raise KeyError(f"store {user_id}/{model_id} does not exist")
+            store = self._make_store(path, config or VectorStoreConfig())
+            self._stores[key] = store
+            return store
+
+    def create_store(self, user_id: str, model_id: str,
+                     config: VectorStoreConfig) -> TPUVectorStore:
+        key = (user_id, model_id)
+        with self._lock:
+            if key in self._stores or \
+                    (self._store_path(*key) / "manifest.json").exists():
+                raise FileExistsError(f"store {user_id}/{model_id} exists")
+            store = self._make_store(self._store_path(*key), config)
+            store.flush()  # write the manifest so existence is durable
+            self._stores[key] = store
+            return store
+
+    def delete_store(self, user_id: str, model_id: str,
+                     force: bool = False) -> None:
+        key = (user_id, model_id)
+        with self._lock:
+            store = self._stores.pop(key, None)
+        if store is not None and len(store) > 0 and not force:
+            with self._lock:
+                self._stores[key] = store  # restore registration
+            raise ValueError(
+                f"store {user_id}/{model_id} is not empty; pass force=True")
+        path = self._store_path(user_id, model_id)
+        if store is None and path.exists():
+            # not loaded: check emptiness from the manifest
+            import json
+            try:
+                manifest = json.loads((path / "manifest.json").read_text())
+                if manifest.get("count", 0) > 0 and not force:
+                    raise ValueError(
+                        f"store {user_id}/{model_id} is not empty; "
+                        "pass force=True")
+            except (OSError, ValueError) as e:
+                if isinstance(e, ValueError) and "not empty" in str(e):
+                    raise
+        shutil.rmtree(path, ignore_errors=True)
+
+    def list_stores(self, user_id: str | None = None) -> list[dict]:
+        out = []
+        if not self.base_path.exists():
+            return out
+        for user_dir in sorted(self.base_path.iterdir()):
+            if not user_dir.is_dir():
+                continue
+            if user_id is not None and user_dir.name != user_id:
+                continue
+            for model_dir in sorted(user_dir.iterdir()):
+                if (model_dir / "manifest.json").exists():
+                    entry = {"user_id": user_dir.name,
+                             "model_id": model_dir.name}
+                    key = (user_dir.name, model_dir.name)
+                    with self._lock:
+                        store = self._stores.get(key)
+                    if store is not None:
+                        entry.update(store.get_stats())
+                    out.append(entry)
+        return out
+
+    # ---------------------------------------------------------- async wraps
+
+    async def add_vectors_async(self, user_id: str, model_id: str,
+                                vectors, metadata=None) -> dict:
+        store = self.get_store(user_id, model_id)
+        loop = asyncio.get_running_loop()
+        breaker = self.errors.breakers["vector_add"]
+        return await loop.run_in_executor(
+            self.executor,
+            lambda: breaker.call(store.add_vectors, vectors, metadata))
+
+    async def query_async(self, user_id: str, model_id: str, query_vector,
+                          k: int = 10, filter_metadata=None,
+                          use_ann: bool = True):
+        store = self.get_store(user_id, model_id, create=False)
+        loop = asyncio.get_running_loop()
+        breaker = self.errors.breakers["vector_query"]
+        return await loop.run_in_executor(
+            self.executor,
+            lambda: breaker.call(store.query, query_vector, k,
+                                 filter_metadata, use_ann))
+
+    async def batch_query_async(self, user_id: str, model_id: str,
+                                query_vectors, k: int = 10,
+                                filter_metadata=None, use_ann: bool = True):
+        store = self.get_store(user_id, model_id, create=False)
+        loop = asyncio.get_running_loop()
+        breaker = self.errors.breakers["vector_query"]
+        return await loop.run_in_executor(
+            self.executor,
+            lambda: breaker.call(store.batch_query, query_vectors, k,
+                                 filter_metadata, use_ann))
+
+    # ---------------------------------------------------------------- stats
+
+    def warmup_all_stores(self) -> dict:
+        results = {}
+        with self._lock:
+            stores = dict(self._stores)
+        for (user, model), store in stores.items():
+            results[f"{user}/{model}"] = store.warmup()
+        return results
+
+    def get_stats(self) -> dict:
+        with self._lock:
+            stores = dict(self._stores)
+        per_store = {f"{u}/{m}": s.get_stats() for (u, m), s in stores.items()}
+        return {
+            "loaded_stores": len(per_store),
+            "total_vectors": sum(s["vector_count"] for s in per_store.values()),
+            "total_memory_mb": round(
+                sum(s["memory_usage_mb"] for s in per_store.values()), 3),
+            "stores": per_store,
+        }
+
+    def shutdown(self) -> None:
+        with self._lock:
+            stores = list(self._stores.values())
+            self._stores.clear()
+        for store in stores:
+            try:
+                store.close()
+            except Exception:  # noqa: BLE001
+                logger.exception("error closing store")
+        self.executor.shutdown(wait=False)
+
+
+# module-level singleton, parity with reference api/routes/vectors.py:144
+store_manager = VectorStoreManager()
