@@ -1,0 +1,195 @@
+"""ANN index tests: recall vs flat ground truth, incremental build,
+persistence, store integration.
+
+The recall harness the reference only sketched
+(tests/performance_demo_hnsw.py:96 was stubbed): recall@k at fixed M/ef
+against exact search, per metric.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from tpu_vector_db.index.beam_graph import BeamGraphIndex
+from tpu_vector_db.ops import distance as D
+from tpu_vector_db.store import TPUVectorStore, VectorStoreConfig
+
+
+def prepare(vectors, metric):
+    x = jnp.asarray(vectors, jnp.float32)
+    if metric == "cosine":
+        x = D.l2_normalize(x)
+    return x
+
+
+def ground_truth(queries, vectors, k, metric):
+    if metric == "cosine":
+        qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+        vn = vectors / np.linalg.norm(vectors, axis=1, keepdims=True)
+        scores = qn @ vn.T
+        return np.argsort(-scores, axis=1)[:, :k]
+    if metric == "dot_product":
+        return np.argsort(-(queries @ vectors.T), axis=1)[:, :k]
+    d2 = ((queries[:, None] - vectors[None]) ** 2).sum(-1)
+    return np.argsort(d2, axis=1)[:, :k]
+
+
+def recall_at_k(found, truth):
+    hits = sum(len(set(f.tolist()) & set(t.tolist()))
+               for f, t in zip(found, truth))
+    return hits / truth.size
+
+
+class TestBeamGraph:
+    @pytest.mark.parametrize("metric", ["cosine", "euclidean"])
+    def test_recall_vs_flat(self, rng, metric):
+        n, d, q_n, k = 4000, 32, 50, 10
+        vectors = rng.standard_normal((n, d)).astype(np.float32)
+        queries = rng.standard_normal((q_n, d)).astype(np.float32)
+
+        db = prepare(vectors, metric)
+        sq = (jnp.sum(db.astype(jnp.float32) ** 2, -1)
+              if metric == "euclidean" else None)
+        index = BeamGraphIndex(dim=d, metric=metric, M=16,
+                               ef_construction=100, batch_size=512)
+        index.build(db, n, sqnorms=sq)
+
+        q = prepare(queries, metric)
+        ids, keys = index.search(q, db, n, k=k, ef_search=100, sqnorms=sq)
+        truth = ground_truth(queries, vectors, k, metric)
+        r = recall_at_k(ids, truth)
+        assert r >= 0.90, f"recall@{k}={r:.3f} for {metric}"
+
+    def test_higher_ef_higher_recall(self, rng):
+        n, d, k = 3000, 24, 10
+        vectors = rng.standard_normal((n, d)).astype(np.float32)
+        queries = rng.standard_normal((30, d)).astype(np.float32)
+        db = prepare(vectors, "cosine")
+        index = BeamGraphIndex(dim=d, metric="cosine", M=8,
+                               ef_construction=64, batch_size=512)
+        index.build(db, n)
+        q = prepare(queries, "cosine")
+        truth = ground_truth(queries, vectors, k, "cosine")
+        r_low = recall_at_k(
+            index.search(q, db, n, k=k, ef_search=16)[0], truth)
+        r_high = recall_at_k(
+            index.search(q, db, n, k=k, ef_search=128)[0], truth)
+        assert r_high >= r_low
+        assert r_high >= 0.9
+
+    def test_incremental_add_recall(self, rng):
+        n1, n2, d, k = 2000, 1000, 24, 10
+        vectors = rng.standard_normal((n1 + n2, d)).astype(np.float32)
+        queries = rng.standard_normal((30, d)).astype(np.float32)
+        db = prepare(vectors, "cosine")
+        index = BeamGraphIndex(dim=d, metric="cosine", M=16,
+                               ef_construction=100, batch_size=512)
+        index.build(db, n1)
+        index.add(db, n1, n1 + n2)
+        assert index.size == n1 + n2
+        q = prepare(queries, "cosine")
+        ids, _ = index.search(q, db, n1 + n2, k=k, ef_search=100)
+        truth = ground_truth(queries, vectors, k, "cosine")
+        assert recall_at_k(ids, truth) >= 0.88
+        # new rows must be reachable
+        new_truth = ground_truth(vectors[n1:n1 + 5], vectors, 1, "cosine")
+        new_ids, _ = index.search(prepare(vectors[n1:n1 + 5], "cosine"),
+                                  db, n1 + n2, k=1, ef_search=64)
+        assert recall_at_k(new_ids, new_truth) == 1.0
+
+    def test_small_n(self, rng):
+        d = 16
+        vectors = rng.standard_normal((5, d)).astype(np.float32)
+        db = prepare(vectors, "cosine")
+        index = BeamGraphIndex(dim=d, metric="cosine", M=4)
+        index.build(db, 5)
+        ids, keys = index.search(prepare(vectors[2:3], "cosine"),
+                                 db, 5, k=3, ef_search=10)
+        assert ids[0, 0] == 2
+        assert keys[0, 0] > 0.999
+
+    def test_persistence_roundtrip(self, rng, tmp_path):
+        n, d = 1500, 16
+        vectors = rng.standard_normal((n, d)).astype(np.float32)
+        db = prepare(vectors, "cosine")
+        index = BeamGraphIndex(dim=d, metric="cosine", M=8,
+                               ef_construction=64, batch_size=512)
+        index.build(db, n)
+        index.save(tmp_path)
+        q = prepare(vectors[:10], "cosine")
+        before, _ = index.search(q, db, n, k=5)
+
+        loaded = BeamGraphIndex(dim=d, metric="cosine", M=8)
+        assert loaded.load(tmp_path)
+        assert loaded.size == n
+        after, _ = loaded.search(q, db, n, k=5)
+        np.testing.assert_array_equal(before, after)
+
+    def test_stats(self, rng):
+        d = 16
+        vectors = rng.standard_normal((500, d)).astype(np.float32)
+        index = BeamGraphIndex(dim=d, metric="cosine", M=8, batch_size=256)
+        index.build(prepare(vectors, "cosine"), 500)
+        s = index.get_stats()
+        assert s["nodes"] == 500
+        assert 0 < s["avg_degree"] <= s["R"]
+        assert s["build_time_s"] > 0
+
+
+class TestStoreANNIntegration:
+    def make_store(self, path, d=24, **ann):
+        cfg = VectorStoreConfig(
+            dimension=d, enable_ann=True, persist_mode="lazy",
+            ann_params={"M": 8, "ef_construction": 64, "ef_search": 64, **ann})
+        return TPUVectorStore(path, cfg)
+
+    def test_ann_query_path(self, tmp_store_path, rng):
+        store = self.make_store(tmp_store_path)
+        vecs = rng.standard_normal((1200, 24)).astype(np.float32)
+        store.add_vectors(vecs, [{"i": i, "g": i % 2} for i in range(1200)])
+        assert store.get_stats()["index_type"] == "beam_graph"
+        idx, scores, meta = store.query(vecs[77], k=5)
+        assert idx[0] == 77 and scores[0] > 0.999
+
+    def test_ann_filter_oversamples(self, tmp_store_path, rng):
+        store = self.make_store(tmp_store_path)
+        vecs = rng.standard_normal((800, 24)).astype(np.float32)
+        store.add_vectors(vecs, [{"g": i % 4} for i in range(800)])
+        idx, _, meta = store.query(vecs[0], k=5, filter_metadata={"g": 1})
+        assert len(idx) > 0
+        assert all(m["g"] == 1 for m in meta)
+
+    def test_ann_incremental_via_store(self, tmp_store_path, rng):
+        store = self.make_store(tmp_store_path)
+        a = rng.standard_normal((600, 24)).astype(np.float32)
+        b = rng.standard_normal((400, 24)).astype(np.float32)
+        store.add_vectors(a)
+        size_after_first = store._ann.size
+        store.add_vectors(b)
+        assert store._ann.size == 1000
+        assert size_after_first == 600
+        idx, scores, _ = store.query(b[17], k=1)
+        assert idx == [617] and scores[0] > 0.999
+
+    def test_ann_persistence_via_store(self, tmp_store_path, rng):
+        store = self.make_store(tmp_store_path)
+        vecs = rng.standard_normal((700, 24)).astype(np.float32)
+        store.add_vectors(vecs)
+        store.flush()
+        build_time = store._ann.build_time_s
+        reloaded = self.make_store(tmp_store_path)
+        # graph loaded from disk, not rebuilt
+        assert reloaded._ann.size == 700
+        assert reloaded._ann.build_time_s == 0.0
+        idx, _, _ = reloaded.query(vecs[3], k=1)
+        assert idx == [3]
+        assert build_time > 0
+
+    def test_ann_failure_falls_back_to_flat(self, tmp_store_path, rng):
+        store = self.make_store(tmp_store_path)
+        vecs = rng.standard_normal((300, 24)).astype(np.float32)
+        store.add_vectors(vecs)
+        store._ann._graph_dev = None  # sabotage -> search raises
+        idx, scores, _ = store.query(vecs[9], k=3)  # falls back, still exact
+        assert idx[0] == 9 and scores[0] > 0.999

@@ -311,25 +311,48 @@ class TPUVectorStore:
 
     # ------------------------------------------------------------------ ANN
 
-    def _refresh_ann(self, incremental_from: int | None = None) -> None:
-        """Build or incrementally extend the ANN index from host vectors."""
+    def _make_ann(self):
         from tpu_vector_db.index.beam_graph import BeamGraphIndex
         p = self.config.ann_params
-        if self._ann is None or incremental_from in (None, 0):
-            self._ann = BeamGraphIndex(
-                dim=self.config.dimension, metric=self.metric,
-                M=p.get("M", 16), ef_construction=p.get("ef_construction", 200))
-            self._ann.build(self._host_buf[: self._count])
+        return BeamGraphIndex(
+            dim=self.config.dimension, metric=self.metric,
+            M=p.get("M", 16),
+            ef_construction=p.get("ef_construction", 200),
+            alpha=p.get("alpha", 1.2))
+
+    def _refresh_ann(self, incremental_from: int | None = None) -> None:
+        """Build or incrementally extend the ANN graph (true incremental
+        adds — the reference rebuilt its whole HNSW on every add,
+        optimized_vector_store.py:110-113). The index searches against the
+        store's own device matrix; it never copies vector data."""
+        if self._count == 0:
+            return
+        if self._ann is None:
+            self._ann = self._make_ann()
+        if incremental_from in (None, 0) or \
+                self._ann.size != incremental_from:
+            self._ann.build(self._db, self._count, sqnorms=self._sqnorms)
         else:
-            self._ann.add(self._host_buf[incremental_from: self._count])
+            self._ann.add(self._db, incremental_from, self._count,
+                          sqnorms=self._sqnorms)
+        if self.config.persist_mode != "off":
+            self._ann.save(self.store_path)
         self._ann_stale = False
+
+    def _prepare_queries(self, arr: np.ndarray) -> jnp.ndarray:
+        q = jnp.asarray(arr, jnp.float32)
+        if self.metric == "cosine":
+            q = D.l2_normalize(q)
+        return D.pad_dim(q)
 
     def _ann_batch_query(self, arr: np.ndarray, k: int,
                          filter_metadata: dict | None):
         ef = self.config.ann_params.get("ef_search", 100)
         # oversample under filters, parity with reference k*10 heuristic
         fetch_k = min(self._count, k * 10) if filter_metadata else k
-        labels, keys = self._ann.search(arr, k=fetch_k, ef_search=max(ef, fetch_k))
+        labels, keys = self._ann.search(
+            self._prepare_queries(arr), self._db, self._count,
+            k=fetch_k, ef_search=max(ef, fetch_k), sqnorms=self._sqnorms)
         out = []
         for row_labels, row_keys in zip(labels, keys):
             indices, scores, metas = [], [], []
@@ -405,7 +428,11 @@ class TPUVectorStore:
         self._metadata = metadata
         self._reset_device(self._capacity_for(n))
         if self.config.enable_ann:
-            self._refresh_ann()
+            self._ann = self._make_ann()
+            if self._ann.load(self.store_path) and self._ann.size == n:
+                self._ann_stale = False
+            else:
+                self._refresh_ann()
 
     def get_vectors(self, indices: list[int] | None = None) -> np.ndarray:
         with self._lock:
