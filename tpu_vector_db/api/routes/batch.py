@@ -146,9 +146,7 @@ class BatchOperationManager:
 
 
 def get_op_manager(app: web.Application) -> BatchOperationManager:
-    if "batch_ops" not in app:
-        app["batch_ops"] = BatchOperationManager()
-    return app["batch_ops"]
+    return app["batch_ops"]  # registered by create_app
 
 
 # ------------------------------------------------------------------ models

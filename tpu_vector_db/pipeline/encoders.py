@@ -1,0 +1,336 @@
+"""Text encoders: model registry + hashing encoder + Flax transformer.
+
+Capability parity with the reference's embedding stack
+(integrations/mlx_lm_pipeline.py:54-448): a registry of named embedding
+models with dimension/memory metadata, compiled masked-mean-pool and
+normalize kernels (:81-108), lazy load + JIT warmup, encode_text /
+encode_batch with padding + attention masks, and perf/memory stats.
+
+TPU-first differences: the forward pass is a jitted Flax module running in
+bf16 on the MXU; batches pad to fixed BUCKET sizes so jit compiles a bounded
+set of shapes; and a weights-free deterministic HashingEncoder stands in
+when no checkpoint is available (this image has no model egress — the
+reference hard-required mlx_embeddings and 4-bit community checkpoints,
+:40-48).
+"""
+
+from __future__ import annotations
+
+import functools
+import hashlib
+import logging
+import re
+import time
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+# shape buckets: every encode pads (batch, seq) up to one of these, so the
+# jitted forward compiles a small fixed set of programs
+BATCH_BUCKETS = (1, 8, 32, 128)
+SEQ_BUCKETS = (32, 128, 512)
+
+
+@dataclass
+class EncoderConfig:
+    name: str = "hash-384"
+    dimension: int = 384
+    max_sequence_length: int = 512
+    # transformer-encoder hyperparameters (ignored by the hashing encoder)
+    vocab_size: int = 30522
+    num_layers: int = 6
+    num_heads: int = 6
+    hidden_dim: int = 384
+    mlp_dim: int = 1536
+    dtype: str = "bfloat16"
+    # local checkpoint directory (flax msgpack / orbax); None = random init
+    checkpoint_path: str | None = None
+    memory_estimate_mb: int = 100
+    use_case: str = "general"
+
+
+# Named registry — same role as the reference's 7-model table (:54-78).
+EMBEDDING_MODEL_REGISTRY: dict[str, EncoderConfig] = {
+    "hash-256": EncoderConfig(name="hash-256", dimension=256,
+                              memory_estimate_mb=1, use_case="ci"),
+    "hash-384": EncoderConfig(name="hash-384", dimension=384,
+                              memory_estimate_mb=1, use_case="ci"),
+    "minilm-l6-384": EncoderConfig(
+        name="minilm-l6-384", dimension=384, num_layers=6, num_heads=12,
+        hidden_dim=384, mlp_dim=1536, memory_estimate_mb=90,
+        use_case="general"),
+    "bge-small-384": EncoderConfig(
+        name="bge-small-384", dimension=384, num_layers=12, num_heads=12,
+        hidden_dim=384, mlp_dim=1536, memory_estimate_mb=130,
+        use_case="retrieval"),
+    "bge-base-768": EncoderConfig(
+        name="bge-base-768", dimension=768, num_layers=12, num_heads=12,
+        hidden_dim=768, mlp_dim=3072, memory_estimate_mb=440,
+        use_case="quality"),
+    "gte-large-1024": EncoderConfig(
+        name="gte-large-1024", dimension=1024, num_layers=24, num_heads=16,
+        hidden_dim=1024, mlp_dim=4096, memory_estimate_mb=1340,
+        use_case="quality"),
+    "multilingual-512": EncoderConfig(
+        name="multilingual-512", dimension=512, num_layers=12, num_heads=8,
+        hidden_dim=512, mlp_dim=2048, memory_estimate_mb=470,
+        use_case="multilingual"),
+}
+
+
+# --------------------------------------------------------- pooling kernels
+
+@jax.jit
+def masked_mean_pool(hidden: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """(B, S, D) x (B, S) -> (B, D), parity with reference :81-99."""
+    m = mask.astype(jnp.float32)[:, :, None]
+    summed = jnp.sum(hidden.astype(jnp.float32) * m, axis=1)
+    denom = jnp.maximum(jnp.sum(m, axis=1), 1e-9)
+    return summed / denom
+
+
+@jax.jit
+def l2_normalize_embeddings(x: jnp.ndarray) -> jnp.ndarray:
+    norm = jnp.linalg.norm(x, axis=-1, keepdims=True)
+    return x / jnp.maximum(norm, 1e-12)
+
+
+def _bucket(value: int, buckets: tuple[int, ...]) -> int:
+    for b in buckets:
+        if value <= b:
+            return b
+    return buckets[-1]
+
+
+# ------------------------------------------------------------- tokenization
+
+_TOKEN_RE = re.compile(r"[a-z0-9']+")
+
+
+class HashTokenizer:
+    """Deterministic hashing tokenizer (no vocab files needed)."""
+
+    def __init__(self, vocab_size: int, max_len: int) -> None:
+        self.vocab_size = vocab_size
+        self.max_len = max_len
+
+    def encode_batch(self, texts: list[str], seq_len: int):
+        ids = np.zeros((len(texts), seq_len), np.int32)
+        mask = np.zeros((len(texts), seq_len), np.int32)
+        for i, text in enumerate(texts):
+            tokens = _TOKEN_RE.findall(text.lower())[: seq_len]
+            for j, tok in enumerate(tokens):
+                digest = hashlib.blake2b(tok.encode(), digest_size=4).digest()
+                ids[i, j] = int.from_bytes(digest, "little") % self.vocab_size
+            mask[i, : len(tokens)] = 1
+        return ids, mask
+
+
+# ---------------------------------------------------------- base interface
+
+class BaseEncoder:
+    """encode(texts) -> (N, dim) float32 normalized embeddings."""
+
+    config: EncoderConfig
+
+    def __init__(self, config: EncoderConfig) -> None:
+        self.config = config
+        self._stats = {"texts": 0, "batches": 0, "total_time_s": 0.0}
+        self._loaded = False
+
+    @property
+    def dimension(self) -> int:
+        return self.config.dimension
+
+    def load(self) -> None:  # lazy, parity with reference load_model
+        self._loaded = True
+
+    def warmup(self) -> dict:
+        t0 = time.perf_counter()
+        self.encode(["warmup probe text"])
+        return {"warmed": True,
+                "duration_ms": (time.perf_counter() - t0) * 1e3}
+
+    def encode(self, texts: list[str]) -> np.ndarray:
+        if not self._loaded:
+            self.load()
+        t0 = time.perf_counter()
+        out = self._encode(texts)
+        dt = time.perf_counter() - t0
+        self._stats["texts"] += len(texts)
+        self._stats["batches"] += 1
+        self._stats["total_time_s"] += dt
+        return out
+
+    def _encode(self, texts: list[str]) -> np.ndarray:
+        raise NotImplementedError
+
+    def get_stats(self) -> dict:
+        s = dict(self._stats)
+        s["texts_per_second"] = (s["texts"] / s["total_time_s"]
+                                 if s["total_time_s"] else 0.0)
+        s["model"] = self.config.name
+        s["dimension"] = self.dimension
+        return s
+
+
+# --------------------------------------------------------- hashing encoder
+
+class HashingEncoder(BaseEncoder):
+    """Deterministic random-projection embedding: hashed tokens index rows
+    of a fixed seeded Gaussian table; masked mean pool + L2 normalize. Fully
+    jitted; zero external weights. Semantics: real lexical overlap ->
+    similar embeddings, which is enough for pipeline/RAG plumbing and CI."""
+
+    def __init__(self, config: EncoderConfig, seed: int = 0) -> None:
+        super().__init__(config)
+        self._seed = seed
+        self._table: jnp.ndarray | None = None
+        self._tokenizer = HashTokenizer(config.vocab_size,
+                                        config.max_sequence_length)
+
+    def load(self) -> None:
+        key = jax.random.PRNGKey(self._seed)
+        self._table = jax.random.normal(
+            key, (self.config.vocab_size, self.config.dimension),
+            jnp.float32) / np.sqrt(self.config.dimension)
+        self._loaded = True
+
+    def _encode(self, texts: list[str]) -> np.ndarray:
+        n = len(texts)
+        seq = _bucket(
+            max((len(_TOKEN_RE.findall(t.lower())) for t in texts),
+                default=1),
+            SEQ_BUCKETS)
+        b = _bucket(n, BATCH_BUCKETS)
+        padded = texts + [""] * (b - n)
+        ids, mask = self._tokenizer.encode_batch(padded, seq)
+        # fully-empty rows pool to zero; avoid NaN by forcing one live token
+        mask[np.asarray(mask.sum(1) == 0), 0] = 1
+        out = _hash_forward(self._table, jnp.asarray(ids), jnp.asarray(mask))
+        return np.asarray(out[:n])
+
+
+@jax.jit
+def _hash_forward(table, ids, mask):
+    # table passed as an argument (a closure-captured device array would be
+    # inlined as a 47MB HLO constant and stall compilation)
+    hidden = table[ids]                                 # (B, S, D) gather
+    pooled = masked_mean_pool(hidden, mask)
+    return l2_normalize_embeddings(pooled)
+
+
+# ------------------------------------------------------ flax transformer
+
+class FlaxTransformerEncoder(BaseEncoder):
+    """Real transformer encoder (Flax): token + position embeddings, N
+    pre-LN self-attention blocks, masked mean pool, normalize. bf16 matmuls
+    on the MXU, f32 accumulations. Random-initialized unless
+    config.checkpoint_path points at a flax msgpack state."""
+
+    def __init__(self, config: EncoderConfig, seed: int = 0) -> None:
+        super().__init__(config)
+        self._seed = seed
+        self._params = None
+        self._model = None
+        self._tokenizer = HashTokenizer(config.vocab_size,
+                                        config.max_sequence_length)
+
+    def load(self) -> None:
+        import flax.linen as nn
+
+        cfg = self.config
+        dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+
+        class Block(nn.Module):
+            @nn.compact
+            def __call__(self, x, mask):
+                h = nn.LayerNorm(dtype=jnp.float32)(x)
+                h = nn.MultiHeadDotProductAttention(
+                    num_heads=cfg.num_heads, dtype=dtype,
+                    deterministic=True)(h, h, mask=mask)
+                x = x + h
+                h = nn.LayerNorm(dtype=jnp.float32)(x)
+                h = nn.Dense(cfg.mlp_dim, dtype=dtype)(h)
+                h = nn.gelu(h)
+                h = nn.Dense(cfg.hidden_dim, dtype=dtype)(h)
+                return x + h
+
+        class Encoder(nn.Module):
+            @nn.compact
+            def __call__(self, ids, mask):
+                x = nn.Embed(cfg.vocab_size, cfg.hidden_dim,
+                             dtype=dtype)(ids)
+                pos = jnp.arange(ids.shape[1])[None, :]
+                x = x + nn.Embed(cfg.max_sequence_length,
+                                 cfg.hidden_dim, dtype=dtype)(pos)
+                attn_mask = mask[:, None, None, :].astype(bool)
+                for _ in range(cfg.num_layers):
+                    x = Block()(x, attn_mask)
+                x = nn.LayerNorm(dtype=jnp.float32)(x)
+                if cfg.hidden_dim != cfg.dimension:
+                    x = nn.Dense(cfg.dimension, dtype=dtype)(x)
+                return x
+
+        self._model = Encoder()
+        init_ids = jnp.zeros((1, 8), jnp.int32)
+        init_mask = jnp.ones((1, 8), jnp.int32)
+        self._params = self._model.init(
+            jax.random.PRNGKey(self._seed), init_ids, init_mask)
+        if cfg.checkpoint_path:
+            self._load_checkpoint(cfg.checkpoint_path)
+        self._forward = jax.jit(self._apply)
+        self._loaded = True
+        logger.info("encoder %s loaded (%d layers, dim %d)",
+                    cfg.name, cfg.num_layers, cfg.dimension)
+
+    def _load_checkpoint(self, path: str) -> None:
+        import flax.serialization
+        from pathlib import Path
+        ckpt = Path(path)
+        candidates = [ckpt] if ckpt.is_file() else \
+            list(ckpt.glob("*.msgpack"))
+        if not candidates:
+            logger.warning("no checkpoint at %s; using random init", path)
+            return
+        raw = candidates[0].read_bytes()
+        self._params = flax.serialization.from_bytes(self._params, raw)
+        logger.info("loaded checkpoint %s", candidates[0])
+
+    def _apply(self, params, ids, mask):
+        hidden = self._model.apply(params, ids, mask)
+        pooled = masked_mean_pool(hidden, mask)
+        return l2_normalize_embeddings(pooled)
+
+    def _encode(self, texts: list[str]) -> np.ndarray:
+        n = len(texts)
+        seq = _bucket(
+            max((len(_TOKEN_RE.findall(t.lower())) for t in texts),
+                default=1),
+            SEQ_BUCKETS)
+        b = _bucket(n, BATCH_BUCKETS)
+        padded = texts + [""] * (b - n)
+        ids, mask = self._tokenizer.encode_batch(padded, seq)
+        mask[np.asarray(mask.sum(1) == 0), 0] = 1
+        out = self._forward(self._params, jnp.asarray(ids), jnp.asarray(mask))
+        return np.asarray(out[:n], np.float32)
+
+
+def create_encoder(model_name: str = "hash-384",
+                   **overrides) -> BaseEncoder:
+    """Factory over the registry; hash-* -> HashingEncoder, else Flax."""
+    if model_name not in EMBEDDING_MODEL_REGISTRY:
+        raise KeyError(
+            f"unknown model {model_name!r}; available: "
+            f"{sorted(EMBEDDING_MODEL_REGISTRY)}")
+    cfg = EMBEDDING_MODEL_REGISTRY[model_name]
+    if overrides:
+        from dataclasses import replace
+        cfg = replace(cfg, **overrides)
+    if model_name.startswith("hash-"):
+        return HashingEncoder(cfg)
+    return FlaxTransformerEncoder(cfg)
