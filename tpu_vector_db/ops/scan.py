@@ -59,6 +59,9 @@ def flat_scan_topk(
         db = distance.l2_normalize(db)
         db_normalized = True
     qn = distance.l2_normalize(queries) if metric == "cosine" else queries
+    # score in the storage dtype (bf16 storage => bf16 MXU passes, f32
+    # accumulation): mixed f32xbf16 inputs silently upcast to f32 matmuls
+    qn = qn.astype(db.dtype)
 
     def block_scores(db_block, sq_block):
         if metric == "cosine":

@@ -38,6 +38,8 @@ class VectorStoreConfig:
     # flush()/close(); "off": in-memory only.
     persist_mode: str = "sync"
     jit_compile: bool = True  # kept for config parity; scans are always jitted
+    # fused Pallas scan kernel for unfiltered k<=32 queries on TPU
+    use_pallas: bool = True
 
     def __post_init__(self) -> None:
         if self.metric not in VALID_METRICS:

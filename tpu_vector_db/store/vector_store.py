@@ -54,17 +54,30 @@ def _write_scalars(buf: jnp.ndarray, block: jnp.ndarray, offset) -> jnp.ndarray:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "metric", "db_normalized", "block_rows"))
+    jax.jit,
+    static_argnames=("k", "metric", "db_normalized", "block_rows", "engine"))
 def _query_packed(queries, db, count, k, metric, db_normalized,
-                  db_sqnorms, filter_mask, block_rows):
+                  db_sqnorms, filter_mask, block_rows, engine="xla"):
     """Scan + pack (keys, indices) into ONE array so the host does a single
     device->host transfer per query call. On a tunneled/remote TPU a D2H
     round-trip costs ~10ms, so two transfers per query would double the
     serving floor. Indices are bitcast (not cast) into the float payload —
-    exact for any row id."""
-    keys, idx = flat_scan_topk(
-        queries, db, count, k, metric=metric, db_normalized=db_normalized,
-        db_sqnorms=db_sqnorms, filter_mask=filter_mask, block_rows=block_rows)
+    exact for any row id.
+
+    engine="pallas" uses the fused single-sweep kernel (ops/pallas_scan.py,
+    ~1.5x the XLA scan's QPS at 1M x 768D bf16); it has no filter-mask path
+    yet, so filtered queries stay on XLA."""
+    if engine == "pallas" and filter_mask is None:
+        from tpu_vector_db.ops.pallas_scan import pallas_flat_topk
+        if metric == "cosine":
+            queries = D.l2_normalize(queries)
+        keys, idx = pallas_flat_topk(
+            queries, db, count, k, metric=metric, db_sqnorms=db_sqnorms)
+    else:
+        keys, idx = flat_scan_topk(
+            queries, db, count, k, metric=metric,
+            db_normalized=db_normalized, db_sqnorms=db_sqnorms,
+            filter_mask=filter_mask, block_rows=block_rows)
     # int32 payload: the axon TPU backend miscompiles int32->f32 bitcast
     # (returns zeros) but f32->int32 is exact.
     keys_i = jax.lax.bitcast_convert_type(keys, jnp.int32)
@@ -237,9 +250,20 @@ class TPUVectorStore:
             b *= 2
         return b
 
+    def _use_pallas(self, k: int, filtered: bool) -> bool:
+        if filtered or k > 32 or not getattr(self.config, "use_pallas", True):
+            return False
+        if jax.default_backend() != "tpu":
+            return False
+        from tpu_vector_db.ops.pallas_scan import pick_block_rows
+        block = pick_block_rows(self._d_pad, self._db.dtype.itemsize)
+        return self._cap % block == 0
+
     def _flat_topk(self, queries: np.ndarray, k: int,
                    filter_mask: jnp.ndarray | None):
         q = D.pad_dim(jnp.asarray(queries, jnp.float32))
+        engine = ("pallas" if self._use_pallas(k, filter_mask is not None)
+                  else "xla")
         packed = _query_packed(
             q, self._db, np.int32(self._count), k,
             metric=self.metric,
@@ -247,6 +271,7 @@ class TPUVectorStore:
             db_sqnorms=self._sqnorms,
             filter_mask=filter_mask,
             block_rows=self._scan_block(),
+            engine=engine,
         )
         packed = np.asarray(packed)  # the one blocking D2H
         kk = packed.shape[-1] // 2
