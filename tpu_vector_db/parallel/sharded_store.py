@@ -84,6 +84,7 @@ class ShardedVectorStore(TPUVectorStore):
             self._ensure_host_cap(new_count)
             self._host_buf[self._count: new_count] = arr
             self._metadata.extend(metadata)
+            self._meta_index.extend(metadata)
             self._count = new_count
             self._reset_device(self._capacity_for(new_count))
             self._ann_stale = True

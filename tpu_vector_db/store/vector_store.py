@@ -90,6 +90,89 @@ def metadata_matches(meta: dict, filt: dict) -> bool:
     return all(meta.get(k) == v for k, v in filt.items())
 
 
+def _meta_hash(value) -> np.uint64:
+    """Stable 64-bit hash of a metadata value (JSON canonical form)."""
+    import hashlib
+    import json as _json
+    payload = _json.dumps(value, sort_keys=True, default=str).encode()
+    return np.uint64(int.from_bytes(
+        hashlib.blake2b(payload, digest_size=8).digest(), "little"))
+
+
+_MISSING = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+class MetadataColumnIndex:
+    """Columnar hash index over metadata for vectorized exact-match filters.
+
+    The reference evaluated filters with a Python loop over every row's dict
+    per query (optimized_vector_store.py:160-167 — O(N) interpreter work on
+    the hot path). Here each metadata key becomes a uint64 hash column;
+    a filter is a numpy equality AND across columns. Hash collisions are
+    resolved by exact re-checking only the returned top-k."""
+
+    def __init__(self) -> None:
+        self._columns: dict[str, np.ndarray] = {}
+        self._count = 0
+        self._cap = 0
+
+    def _ensure(self, key: str) -> np.ndarray:
+        col = self._columns.get(key)
+        if col is None:
+            col = np.full(max(self._cap, 1024), _MISSING, np.uint64)
+            self._columns[key] = col
+        return col
+
+    def _grow(self, n: int) -> None:
+        if n <= self._cap:
+            return
+        cap = max(self._cap, 1024)
+        while cap < n:
+            cap *= 2
+        for key, col in self._columns.items():
+            new = np.full(cap, _MISSING, np.uint64)
+            new[: len(col)] = col
+            self._columns[key] = new
+        self._cap = cap
+
+    def extend(self, metadata: list[dict]) -> None:
+        start = self._count
+        self._count += len(metadata)
+        self._grow(self._count)
+        for i, meta in enumerate(metadata):
+            for key, value in meta.items():
+                col = self._ensure(key)
+                if len(col) < self._cap:
+                    new = np.full(self._cap, _MISSING, np.uint64)
+                    new[: len(col)] = col
+                    self._columns[key] = col = new
+                col[start + i] = _meta_hash(value)
+
+    def rebuild(self, metadata: list[dict]) -> None:
+        self._columns.clear()
+        self._count = 0
+        self._cap = 0
+        self.extend(metadata)
+
+    def clear(self) -> None:
+        self.rebuild([])
+
+    def mask(self, filt: dict, out_size: int) -> np.ndarray:
+        """(out_size,) bool; rows matching every (key, value) pair."""
+        mask = np.zeros(out_size, np.bool_)
+        live = min(self._count, out_size)
+        if live == 0:
+            return mask
+        acc = np.ones(live, np.bool_)
+        for key, value in filt.items():
+            col = self._columns.get(key)
+            if col is None:
+                return mask  # key never seen -> nothing matches
+            acc &= col[:live] == _meta_hash(value)
+        mask[:live] = acc
+        return mask
+
+
 class TPUVectorStore:
     """One tenant store: (N, d) matrix + metadata list + optional ANN index."""
 
@@ -112,6 +195,7 @@ class TPUVectorStore:
         self._host_cap = 0
         self._host_buf: np.ndarray | None = None  # (host_cap, d) float32
         self._metadata: list[dict] = []
+        self._meta_index = MetadataColumnIndex()
 
         # device state (created lazily in _reset_device)
         self._cap = 0
@@ -191,6 +275,7 @@ class TPUVectorStore:
             self._ensure_host_cap(new_count)
             self._host_buf[self._count: new_count] = arr
             self._metadata.extend(metadata)
+            self._meta_index.extend(metadata)
 
             if self._db is None or new_count > self._cap:
                 old = self._count
@@ -224,6 +309,7 @@ class TPUVectorStore:
             self._host_cap = 0
             self._host_buf = None
             self._metadata = []
+            self._meta_index.clear()
             self._cap = 0
             self._db = None
             self._sqnorms = None
@@ -234,11 +320,7 @@ class TPUVectorStore:
     # ---------------------------------------------------------------- query
 
     def _filter_mask(self, filter_metadata: dict) -> jnp.ndarray:
-        mask = np.zeros((self._cap,), np.bool_)
-        for i in range(self._count):
-            if metadata_matches(self._metadata[i], filter_metadata):
-                mask[i] = True
-        return jnp.asarray(mask)
+        return jnp.asarray(self._meta_index.mask(filter_metadata, self._cap))
 
     def _scan_block(self) -> int:
         """Scan tile for queries: as large as divides capacity, up to 128K
@@ -278,15 +360,21 @@ class TPUVectorStore:
         keys = np.ascontiguousarray(packed[:, :kk]).view(np.float32)
         return keys, packed[:, kk:]
 
-    def _format_results(self, keys_row: np.ndarray, idx_row: np.ndarray, k: int):
+    def _format_results(self, keys_row: np.ndarray, idx_row: np.ndarray,
+                        k: int, filter_metadata: dict | None = None):
         indices, scores, metas = [], [], []
         for key, i in zip(keys_row, idx_row):
             if key == NEG_INF or len(indices) >= k:
                 continue
+            meta = self._metadata[int(i)]
+            # exact re-check: the filter mask is hash-based (collisions are
+            # ~2^-64 but correctness is contractual)
+            if filter_metadata and not metadata_matches(meta, filter_metadata):
+                continue
             raw = float(np.sqrt(max(-key, 0.0))) if self.metric == "euclidean" else float(key)
             indices.append(int(i))
             scores.append(raw)
-            metas.append(self._metadata[int(i)])
+            metas.append(meta)
         return indices, scores, metas
 
     def query(self, query_vector, k: int = 10, filter_metadata: dict | None = None,
@@ -331,7 +419,8 @@ class TPUVectorStore:
             mask = (self._filter_mask(filter_metadata)
                     if filter_metadata else None)
             keys, idx = self._flat_topk(arr, k_eff, mask)
-            return [self._format_results(keys[i], idx[i], k_eff)
+            return [self._format_results(keys[i], idx[i], k_eff,
+                                         filter_metadata)
                     for i in range(arr.shape[0])]
 
     # ------------------------------------------------------------------ ANN
@@ -451,6 +540,7 @@ class TPUVectorStore:
         self._host_buf[:n] = vectors
         self._count = n
         self._metadata = metadata
+        self._meta_index.rebuild(metadata)
         self._reset_device(self._capacity_for(n))
         if self.config.enable_ann:
             self._ann = self._make_ann()
