@@ -1,0 +1,242 @@
+// Native host-side ANN graph builder.
+//
+// The runtime analog of the reference's only native component (hnswlib's
+// C++ HNSW, wrapped at performance/hnsw_index.py) — but NOT a copy of it:
+// this builds the SAME flat navigable graph the TPU batched-insertion path
+// builds (single layer, degree R, alpha-diversity pruning, re-pruned
+// reverse edges), so a graph built here is searched by the TPU beam-search
+// kernel unchanged. Use case: index builds without paying TPU program
+// compilation / device queue latency, and builds that overlap with serving.
+//
+// C ABI (ctypes): build_graph(...) fills caller-allocated neighbor and
+// edge-key tables. Vectors arrive PREPARED (cosine rows pre-normalized) so
+// metric reduces to: key = dot(u, v) (cosine/dot) or key = -||u - v||^2.
+//
+// Build: g++ -O3 -std=c++17 -shared -fPIC graph_builder.cpp -o libvdbgraph.so
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <queue>
+#include <random>
+#include <vector>
+
+namespace {
+
+struct Candidate {
+    float key;      // maximize
+    int32_t id;
+};
+struct ByKeyDesc {
+    bool operator()(const Candidate& a, const Candidate& b) const {
+        return a.key < b.key;  // max-heap on key
+    }
+};
+struct ByKeyAsc {
+    bool operator()(const Candidate& a, const Candidate& b) const {
+        return a.key > b.key;  // min-heap on key (worst on top)
+    }
+};
+
+class Builder {
+  public:
+    Builder(const float* vecs, int64_t n, int64_t d, int metric,
+            int R, int efc, float alpha)
+        : vecs_(vecs), n_(n), d_(d), metric_(metric), R_(R), efc_(efc),
+          alpha_(alpha), graph_(n * R, -1),
+          keys_(n * R, -std::numeric_limits<float>::infinity()),
+          visit_epoch_(n, 0), epoch_(0) {}
+
+    void build(int32_t* out_graph, float* out_keys, int32_t* out_entries,
+               int entry_count) {
+        bootstrap();
+        for (int64_t u = built_; u < n_; ++u) insert(u);
+        std::memcpy(out_graph, graph_.data(), sizeof(int32_t) * n_ * R_);
+        std::memcpy(out_keys, keys_.data(), sizeof(float) * n_ * R_);
+        // spread entry points across insertion order
+        for (int i = 0; i < entry_count; ++i) {
+            out_entries[i] = static_cast<int32_t>(
+                (n_ - 1) * static_cast<int64_t>(i) /
+                std::max(entry_count - 1, 1));
+        }
+    }
+
+  private:
+    float key(int64_t a, int64_t b) const {
+        const float* x = vecs_ + a * d_;
+        const float* y = vecs_ + b * d_;
+        float dot = 0.f;
+        for (int64_t i = 0; i < d_; ++i) dot += x[i] * y[i];
+        if (metric_ == 1) {  // euclidean: key = -(|x|^2 - 2x.y + |y|^2)
+            float xx = 0.f, yy = 0.f;
+            for (int64_t i = 0; i < d_; ++i) { xx += x[i] * x[i]; yy += y[i] * y[i]; }
+            return 2.f * dot - xx - yy;
+        }
+        return dot;
+    }
+    // distance form for the diversity rule (smaller = closer)
+    static float key_to_dist(float k, int metric) {
+        return metric == 1 ? -k : 1.f - k;
+    }
+
+    void bootstrap() {
+        int64_t boot = std::min<int64_t>(n_, R_ + 1);
+        for (int64_t i = 0; i < boot; ++i) {
+            int slot = 0;
+            for (int64_t j = 0; j < boot && slot < R_; ++j) {
+                if (j == i) continue;
+                graph_[i * R_ + slot] = static_cast<int32_t>(j);
+                // bootstrap edges carry -inf keys: first to be replaced
+                ++slot;
+            }
+        }
+        built_ = boot;
+    }
+
+    // best-first search over the current graph; returns top-efc candidates
+    // sorted best-first.
+    void search(int64_t q, std::vector<Candidate>& out) {
+        ++epoch_;
+        std::priority_queue<Candidate, std::vector<Candidate>, ByKeyDesc>
+            frontier;                       // best first
+        std::priority_queue<Candidate, std::vector<Candidate>, ByKeyAsc>
+            results;                        // worst on top, size <= efc
+        auto visit = [&](int32_t v) {
+            if (v < 0 || visit_epoch_[v] == epoch_) return;
+            visit_epoch_[v] = epoch_;
+            float kk = key(q, v);
+            if (static_cast<int>(results.size()) < efc_ ||
+                kk > results.top().key) {
+                frontier.push({kk, v});
+                results.push({kk, v});
+                if (static_cast<int>(results.size()) > efc_) results.pop();
+            }
+        };
+        // entries: spread over built range
+        int entries = std::min<int64_t>(built_, 8);
+        for (int e = 0; e < entries; ++e)
+            visit(static_cast<int32_t>((built_ - 1) * static_cast<int64_t>(e) /
+                                       std::max(entries - 1, 1)));
+        while (!frontier.empty()) {
+            Candidate c = frontier.top();
+            frontier.pop();
+            if (static_cast<int>(results.size()) >= efc_ &&
+                c.key < results.top().key)
+                break;
+            const int32_t* row = &graph_[static_cast<int64_t>(c.id) * R_];
+            for (int j = 0; j < R_; ++j) visit(row[j]);
+        }
+        out.clear();
+        out.reserve(results.size());
+        while (!results.empty()) { out.push_back(results.top()); results.pop(); }
+        std::reverse(out.begin(), out.end());  // best first
+    }
+
+    // greedy alpha-diversity prune (same rule as the on-device pass):
+    // walking best-to-worst, keep c unless a kept j is closer to c than the
+    // base is (scaled by alpha). cands must be sorted best-first.
+    void alpha_prune(const std::vector<Candidate>& cands,
+                     std::vector<Candidate>& kept) {
+        kept.clear();
+        for (const Candidate& c : cands) {
+            if (static_cast<int>(kept.size()) >= R_) break;
+            if (c.id < 0) continue;
+            float base = key_to_dist(c.key, metric_);
+            bool ok = true;
+            for (const Candidate& j : kept) {
+                float dj = key_to_dist(key(j.id, c.id), metric_);
+                if (alpha_ * dj <= base) { ok = false; break; }
+            }
+            if (ok) kept.push_back(c);
+        }
+    }
+
+    void set_row(int64_t u, const std::vector<Candidate>& kept) {
+        for (int j = 0; j < R_; ++j) {
+            if (j < static_cast<int>(kept.size())) {
+                graph_[u * R_ + j] = kept[j].id;
+                keys_[u * R_ + j] = kept[j].key;
+            } else {
+                graph_[u * R_ + j] = -1;
+                keys_[u * R_ + j] = -std::numeric_limits<float>::infinity();
+            }
+        }
+    }
+
+    void insert(int64_t u) {
+        std::vector<Candidate> cands, kept;
+        search(u, cands);
+        alpha_prune(cands, kept);
+        set_row(u, kept);
+        // reverse edges on the top half (M = R/2), re-pruned per row
+        int m = std::max(R_ / 2, 1);
+        for (int j = 0; j < m && j < static_cast<int>(kept.size()); ++j) {
+            int32_t v = kept[j].id;
+            std::vector<Candidate> row;
+            row.reserve(R_ + 1);
+            bool present = false;
+            for (int t = 0; t < R_; ++t) {
+                int32_t w = graph_[static_cast<int64_t>(v) * R_ + t];
+                if (w < 0) continue;
+                if (w == u) present = true;
+                row.push_back({keys_[static_cast<int64_t>(v) * R_ + t], w});
+            }
+            if (present) continue;
+            row.push_back({kept[j].key, static_cast<int32_t>(u)});
+            std::sort(row.begin(), row.end(),
+                      [](const Candidate& a, const Candidate& b) {
+                          return a.key > b.key;
+                      });
+            std::vector<Candidate> vkept;
+            base_prune(v, row, vkept);
+            set_row(v, vkept);
+        }
+        built_ = u + 1;
+    }
+
+    // prune candidates of row v (base node v itself)
+    void base_prune(int64_t v, const std::vector<Candidate>& cands,
+                    std::vector<Candidate>& kept) {
+        kept.clear();
+        for (const Candidate& c : cands) {
+            if (static_cast<int>(kept.size()) >= R_) break;
+            if (c.id < 0 || c.id == static_cast<int32_t>(v)) continue;
+            float base = key_to_dist(c.key, metric_);
+            bool ok = true;
+            for (const Candidate& j : kept) {
+                float dj = key_to_dist(key(j.id, c.id), metric_);
+                if (alpha_ * dj <= base) { ok = false; break; }
+            }
+            if (ok) kept.push_back(c);
+        }
+    }
+
+    const float* vecs_;
+    int64_t n_, d_;
+    int metric_, R_, efc_;
+    float alpha_;
+    std::vector<int32_t> graph_;
+    std::vector<float> keys_;
+    std::vector<uint32_t> visit_epoch_;
+    uint32_t epoch_;
+    int64_t built_ = 0;
+};
+
+}  // namespace
+
+extern "C" {
+
+// vectors: (n, d) float32, prepared. metric: 0 = cosine/dot key, 1 = L2.
+// out_graph: (n, R) int32. out_keys: (n, R) float32.
+// out_entries: (entry_count,) int32.
+int build_graph(const float* vectors, int64_t n, int64_t d, int metric,
+                int R, int ef_construction, float alpha,
+                int32_t* out_graph, float* out_keys,
+                int32_t* out_entries, int entry_count) {
+    if (n <= 0 || d <= 0 || R <= 0) return 1;
+    Builder b(vectors, n, d, metric, R, ef_construction, alpha);
+    b.build(out_graph, out_keys, out_entries, entry_count);
+    return 0;
+}
+
+}  // extern "C"

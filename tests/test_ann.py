@@ -193,3 +193,61 @@ class TestStoreANNIntegration:
         store._ann._graph_dev = None  # sabotage -> search raises
         idx, scores, _ = store.query(vecs[9], k=3)  # falls back, still exact
         assert idx[0] == 9 and scores[0] > 0.999
+
+
+class TestNativeBuilder:
+    """C++ host-side builder: same graph contract, searched by the TPU path."""
+
+    def test_native_available_and_recall(self, rng):
+        from tpu_vector_db.index import native
+        if not native.available():
+            pytest.skip("no g++ / native lib")
+        n, d, k = 3000, 32, 10
+        vectors = rng.standard_normal((n, d)).astype(np.float32)
+        queries = rng.standard_normal((40, d)).astype(np.float32)
+        index = BeamGraphIndex(dim=d, metric="cosine", M=16,
+                               ef_construction=100)
+        index.build_cpu(vectors, n)
+        assert index.size == n
+        db = prepare(vectors, "cosine")
+        ids, _ = index.search(prepare(queries, "cosine"), db, n,
+                              k=k, ef_search=100)
+        truth = ground_truth(queries, vectors, k, "cosine")
+        r = recall_at_k(ids, truth)
+        assert r >= 0.90, f"native-build recall={r:.3f}"
+
+    def test_native_euclidean(self, rng):
+        from tpu_vector_db.index import native
+        if not native.available():
+            pytest.skip("no g++ / native lib")
+        n, d, k = 2000, 24, 10
+        vectors = rng.standard_normal((n, d)).astype(np.float32)
+        queries = rng.standard_normal((30, d)).astype(np.float32)
+        index = BeamGraphIndex(dim=d, metric="euclidean", M=16,
+                               ef_construction=100)
+        index.build_cpu(vectors, n)
+        db = jnp.asarray(vectors)
+        sq = jnp.sum(db ** 2, -1)
+        ids, _ = index.search(jnp.asarray(queries), db, n, k=k,
+                              ef_search=100, sqnorms=sq)
+        truth = ground_truth(queries, vectors, k, "euclidean")
+        assert recall_at_k(ids, truth) >= 0.90
+
+    def test_store_cpu_backend(self, tmp_store_path, rng):
+        from tpu_vector_db.index import native
+        if not native.available():
+            pytest.skip("no g++ / native lib")
+        cfg = VectorStoreConfig(
+            dimension=24, enable_ann=True, persist_mode="off",
+            ann_params={"M": 8, "ef_construction": 64, "ef_search": 64,
+                        "build_backend": "cpu"})
+        store = TPUVectorStore(tmp_store_path, cfg)
+        vecs = rng.standard_normal((1500, 24)).astype(np.float32)
+        store.add_vectors(vecs)
+        idx, scores, _ = store.query(vecs[321], k=3)
+        assert idx[0] == 321 and scores[0] > 0.999
+        # incremental add extends the native-built graph on device
+        more = rng.standard_normal((200, 24)).astype(np.float32)
+        store.add_vectors(more)
+        idx, _, _ = store.query(more[50], k=1)
+        assert idx == [1550]

@@ -269,6 +269,42 @@ class BeamGraphIndex:
                     count, self.build_time_s, self.M, self.ef_construction)
         return {"nodes": count, "build_time_s": self.build_time_s}
 
+    def build_cpu(self, host_vectors: np.ndarray, count: int) -> dict:
+        """Full build on the host via the native C++ builder
+        (native/graph_builder.cpp) — same graph format and pruning rule as
+        the on-device build, no TPU program compilation on the build path.
+        host_vectors: RAW (count, d) float32; prepared here."""
+        from tpu_vector_db.index import native
+        t0 = time.perf_counter()
+        prepared = np.ascontiguousarray(host_vectors[:count], np.float32)
+        if self.metric == "cosine":
+            norms = np.linalg.norm(prepared, axis=1, keepdims=True)
+            prepared = prepared / np.maximum(norms, 1e-8)
+        graph, keys, entries = native.build_graph(
+            prepared, self.metric, self.R, self.ef_construction, self.alpha,
+            entry_count=self.entry_count)
+        self.install_graph(graph, keys, entries)
+        self.build_time_s = time.perf_counter() - t0
+        logger.info("native graph build: %d nodes in %.1fs", count,
+                    self.build_time_s)
+        return {"nodes": count, "build_time_s": self.build_time_s,
+                "backend": "cpu-native"}
+
+    def install_graph(self, graph: np.ndarray, edge_keys: np.ndarray,
+                      entries: np.ndarray) -> None:
+        n = graph.shape[0]
+        if graph.shape[1] != self.R:
+            raise ValueError(f"graph degree {graph.shape[1]} != R {self.R}")
+        self._n = 0
+        self._graph = None
+        self._cap = 0
+        self._ensure_cap(n)
+        self._graph[:n] = graph
+        self._edge_keys[:n] = edge_keys
+        self._n = n
+        self._entries = entries.astype(np.int32)
+        self._graph_dev = jnp.asarray(self._graph)
+
     def add(self, db, old_count: int, new_count: int, sqnorms=None) -> dict:
         """Incremental insertion of rows [old_count, new_count)."""
         t0 = time.perf_counter()

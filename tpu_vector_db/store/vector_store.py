@@ -443,10 +443,24 @@ class TPUVectorStore:
             return
         if self._ann is None:
             self._ann = self._make_ann()
+        backend = self.config.ann_params.get("build_backend", "tpu")
         if incremental_from in (None, 0) or \
                 self._ann.size != incremental_from:
-            self._ann.build(self._db, self._count, sqnorms=self._sqnorms)
+            if backend in ("cpu", "auto"):
+                from tpu_vector_db.index import native
+                if native.available():
+                    self._ann.build_cpu(self._host_buf, self._count)
+                else:
+                    if backend == "cpu":
+                        logger.warning("native builder unavailable; "
+                                       "falling back to TPU build")
+                    self._ann.build(self._db, self._count,
+                                    sqnorms=self._sqnorms)
+            else:
+                self._ann.build(self._db, self._count, sqnorms=self._sqnorms)
         else:
+            # incremental adds always extend on device (works on graphs from
+            # either builder)
             self._ann.add(self._db, incremental_from, self._count,
                           sqnorms=self._sqnorms)
         if self.config.persist_mode != "off":
