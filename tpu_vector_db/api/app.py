@@ -128,6 +128,31 @@ async def error_middleware(request: web.Request, handler):
             status=500)
 
 
+@web.middleware
+async def cors_middleware(request: web.Request, handler):
+    """CORS + gzip responses (reference mounted CORSMiddleware +
+    GZipMiddleware, main.py:120-128)."""
+    if request.method == "OPTIONS":
+        response = web.Response(status=204)
+    else:
+        response = await handler(request)
+    origin = request.headers.get("Origin")
+    if origin:
+        response.headers["Access-Control-Allow-Origin"] = origin
+        response.headers["Access-Control-Allow-Methods"] = \
+            "GET, POST, DELETE, OPTIONS"
+        response.headers["Access-Control-Allow-Headers"] = \
+            "Authorization, Content-Type"
+    if (isinstance(response, web.Response) and response.body and
+            len(response.body) > 4096 and
+            "gzip" in request.headers.get("Accept-Encoding", "") and
+            "Content-Encoding" not in response.headers):
+        import gzip
+        response.body = gzip.compress(bytes(response.body), 5)
+        response.headers["Content-Encoding"] = "gzip"
+    return response
+
+
 class RequestStats:
     """Rolling request latency average (reference main.py:131-167)."""
 
@@ -153,8 +178,8 @@ def create_app(manager: VectorStoreManager | None = None,
     # then the error boundary innermost so limiter/tracking headers attach
     # to error responses too
     app = web.Application(
-        middlewares=[request_tracking_middleware, rate_limit_middleware,
-                     error_middleware],
+        middlewares=[cors_middleware, request_tracking_middleware,
+                     rate_limit_middleware, error_middleware],
         client_max_size=512 * 2**20)  # bulk uploads
 
     app["manager"] = manager or VectorStoreManager()

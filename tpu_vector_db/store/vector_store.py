@@ -33,6 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpu_vector_db.ops import distance as D
+from tpu_vector_db.ops.monitor import performance_monitor
 from tpu_vector_db.ops.scan import flat_scan_topk
 from tpu_vector_db.ops.topk import NEG_INF
 from tpu_vector_db.store.config import VectorStoreConfig
@@ -270,6 +271,7 @@ class TPUVectorStore:
         if len(metadata) != n:
             raise ValueError(
                 f"metadata length {len(metadata)} != vectors {n}")
+        t_add = time.perf_counter()
         with self._lock:
             new_count = self._count + n
             self._ensure_host_cap(new_count)
@@ -297,6 +299,7 @@ class TPUVectorStore:
                 self._save()
             if self.config.enable_ann:
                 self._refresh_ann(incremental_from=added_at)
+        performance_monitor.record("add_vectors", time.perf_counter() - t_add)
         return {"added": n, "total": self._count}
 
     def clear(self) -> None:
@@ -416,9 +419,12 @@ class TPUVectorStore:
                     logger.warning("ANN query failed; falling back to flat scan",
                                    exc_info=True)
 
+            t0 = time.perf_counter()
             mask = (self._filter_mask(filter_metadata)
                     if filter_metadata else None)
             keys, idx = self._flat_topk(arr, k_eff, mask)
+            performance_monitor.record("flat_scan_topk",
+                                       time.perf_counter() - t0)
             return [self._format_results(keys[i], idx[i], k_eff,
                                          filter_metadata)
                     for i in range(arr.shape[0])]
