@@ -289,3 +289,27 @@ def test_performance_routes(client_factory, rng):
                 "user_id": "perf", "model_id": "p1"})
             assert (await r.json())["optimized"]
     run(go())
+
+
+def test_x_api_key_header(client_factory):
+    async def go():
+        async with client_factory() as client:
+            r = await client.get("/vectors/count",
+                                 params={"user_id": "x", "model_id": "y"},
+                                 headers={"X-API-Key": API_KEY})
+            assert r.status == 404  # authorized; store just doesn't exist
+            r = await client.get("/vectors/count",
+                                 params={"user_id": "x", "model_id": "y"},
+                                 headers={"X-API-Key": "wrong"})
+            assert r.status == 401
+    run(go())
+
+
+def test_jwt_roundtrip():
+    from tpu_vector_db.security.auth import create_jwt, verify_jwt
+    token = create_jwt({"sub": "user1", "tier": "premium"})
+    payload = verify_jwt(token)
+    assert payload["sub"] == "user1"
+    assert verify_jwt(token + "x") is None
+    expired = create_jwt({"sub": "u"}, expires_in_s=-10)
+    assert verify_jwt(expired) is None

@@ -113,3 +113,33 @@ class TestShardedStore:
         assert idx == [555] and scores[0] > 0.999
         stats = shard.get_stats()
         assert stats["sharded"] and stats["n_devices"] == 8
+
+
+class TestServingMesh2D:
+    def test_replica_shard_mesh_equals_flat(self, rng):
+        from tpu_vector_db.parallel.mesh import make_serving_mesh, SHARD_AXIS
+        from tpu_vector_db.parallel.sharded_scan import make_serving_query_fn
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mesh = make_serving_mesh(2, 4)
+        n_dev_shard, block, d, k = 4, 64, 32, 5
+        n = 1500
+        cap = ((n + block * n_dev_shard - 1) //
+               (block * n_dev_shard)) * block * n_dev_shard
+        db = np.zeros((cap, d), np.float32)
+        db[:n] = rng.standard_normal((n, d))
+        queries = rng.standard_normal((8, d)).astype(np.float32)  # 4 per group
+
+        dbj = D.l2_normalize(jnp.asarray(db))
+        ref_keys, ref_idx = flat_scan_topk(
+            jnp.asarray(queries), dbj, jnp.int32(n), k,
+            metric="cosine", db_normalized=True, block_rows=block)
+
+        fn = make_serving_query_fn(mesh, k, block_rows=block)
+        db_sh = jax.device_put(dbj, NamedSharding(mesh, P(SHARD_AXIS, None)))
+        q_sh = jax.device_put(jnp.asarray(queries),
+                              NamedSharding(mesh, P("replica", None)))
+        keys, idx = fn(q_sh, db_sh, jnp.int32(n))
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
+        np.testing.assert_allclose(np.asarray(keys), np.asarray(ref_keys),
+                                   atol=1e-4)

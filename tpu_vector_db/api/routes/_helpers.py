@@ -11,11 +11,18 @@ from tpu_vector_db.ops.distance import raw_score_to_similarity_distance
 from tpu_vector_db.security.auth import verify_admin_key, verify_api_key
 
 
+def _credential(request: web.Request) -> str | None:
+    """Authorization bearer or X-API-Key header (the reference's two SDKs
+    used one each; both are accepted)."""
+    return (request.headers.get("Authorization")
+            or request.headers.get("X-API-Key"))
+
+
 def require_api_key(handler):
     """Bearer-token guard (reference security/auth.py:52 as a FastAPI dep)."""
     @functools.wraps(handler)
     async def wrapper(request: web.Request):
-        if not verify_api_key(request.headers.get("Authorization")):
+        if not verify_api_key(_credential(request)):
             raise web.HTTPUnauthorized(reason="invalid or missing API key")
         return await handler(request)
     return wrapper
@@ -24,7 +31,7 @@ def require_api_key(handler):
 def require_admin_key(handler):
     @functools.wraps(handler)
     async def wrapper(request: web.Request):
-        if not verify_admin_key(request.headers.get("Authorization")):
+        if not verify_admin_key(_credential(request)):
             raise web.HTTPForbidden(reason="admin key required")
         return await handler(request)
     return wrapper

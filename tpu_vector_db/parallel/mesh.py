@@ -17,6 +17,23 @@ logger = logging.getLogger(__name__)
 SHARD_AXIS = "shard"
 
 
+REPLICA_AXIS = "replica"
+
+
+def make_serving_mesh(replicas: int, shards: int,
+                      replica_axis: str = REPLICA_AXIS,
+                      shard_axis: str = SHARD_AXIS) -> Mesh:
+    """2-D serving mesh: the store replicates across `replica` groups (each
+    serving its own slice of the query batch — throughput scaling) and
+    shards rows across `shard` within a group (capacity scaling). The
+    reference could do neither (workers pinned to 1, main.py:395)."""
+    if replicas * shards > len(jax.devices()):
+        raise ValueError(
+            f"mesh {replicas}x{shards} exceeds {len(jax.devices())} devices")
+    return jax.make_mesh((replicas, shards), (replica_axis, shard_axis),
+                         devices=jax.devices()[: replicas * shards])
+
+
 def make_device_mesh(n_devices: int | None = None,
                      axis_name: str = SHARD_AXIS) -> Mesh:
     """1-D mesh over the store's row dimension.

@@ -14,7 +14,41 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from tpu_vector_db.ops.scan import flat_scan_topk
-from tpu_vector_db.parallel.mesh import SHARD_AXIS
+from tpu_vector_db.parallel.mesh import REPLICA_AXIS, SHARD_AXIS
+
+
+def make_serving_query_fn(mesh: Mesh, k: int, metric: str = "cosine",
+                          db_normalized: bool = True,
+                          block_rows: int = 8192,
+                          replica_axis: str = REPLICA_AXIS,
+                          shard_axis: str = SHARD_AXIS):
+    """2-D data-parallel serving step over a (replica, shard) mesh.
+
+    queries (Q_total, d) split across `replica` groups; db rows sharded over
+    `shard` and replicated over `replica`. Each group computes its queries'
+    global top-k with the local-scan + shard-axis all-gather merge; results
+    come back sharded over `replica` — no cross-group traffic at all.
+    """
+    def core(queries, db, count):
+        rows_local = db.shape[0]
+        shard_id = jax.lax.axis_index(shard_axis)
+        offset = shard_id * rows_local
+        local_count = jnp.clip(count - offset, 0, rows_local).astype(jnp.int32)
+        keys, idx = flat_scan_topk(
+            queries, db, local_count, k, metric=metric,
+            db_normalized=db_normalized, block_rows=block_rows)
+        gidx = idx + offset
+        all_keys = jax.lax.all_gather(keys, shard_axis, axis=1, tiled=True)
+        all_idx = jax.lax.all_gather(gidx, shard_axis, axis=1, tiled=True)
+        vals, sel = jax.lax.top_k(all_keys, k)
+        return vals, jnp.take_along_axis(all_idx, sel, axis=-1)
+
+    sharded = jax.shard_map(
+        core, mesh=mesh,
+        in_specs=(P(replica_axis, None), P(shard_axis, None), P()),
+        out_specs=(P(replica_axis, None), P(replica_axis, None)),
+        check_vma=False)
+    return jax.jit(sharded)
 
 
 def make_sharded_query_fn(mesh: Mesh, k: int, metric: str = "cosine",

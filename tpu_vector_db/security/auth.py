@@ -84,6 +84,57 @@ def _extract_bearer(header_value: str | None) -> str | None:
     return header_value.strip()  # raw key / X-API-Key style
 
 
+# ------------------------------------------------------------------- JWT
+# The reference carried a JWT placeholder (security/auth.py:113-125); this
+# is a working HS256 implementation on stdlib only (no pyjwt in the image).
+
+import base64  # noqa: E402
+import hmac  # noqa: E402
+import json  # noqa: E402
+import time  # noqa: E402
+
+
+def _b64url(data: bytes) -> bytes:
+    return base64.urlsafe_b64encode(data).rstrip(b"=")
+
+
+def _b64url_decode(data: str) -> bytes:
+    pad = "=" * (-len(data) % 4)
+    return base64.urlsafe_b64decode(data + pad)
+
+
+def create_jwt(payload: dict, secret: str | None = None,
+               expires_in_s: float = 3600.0) -> str:
+    """HS256 JWT; secret defaults to the admin key."""
+    secret = secret or auth_config.admin_key
+    header = _b64url(json.dumps({"alg": "HS256", "typ": "JWT"}).encode())
+    body = dict(payload)
+    body.setdefault("exp", time.time() + expires_in_s)
+    claims = _b64url(json.dumps(body).encode())
+    signing_input = header + b"." + claims
+    sig = _b64url(hmac.new(secret.encode(), signing_input,
+                           "sha256").digest())
+    return (signing_input + b"." + sig).decode()
+
+
+def verify_jwt(token: str, secret: str | None = None) -> dict | None:
+    """Returns the payload if the signature checks out and not expired."""
+    secret = secret or auth_config.admin_key
+    try:
+        header_b64, claims_b64, sig_b64 = token.split(".")
+        signing_input = f"{header_b64}.{claims_b64}".encode()
+        expected = _b64url(hmac.new(secret.encode(), signing_input,
+                                    "sha256").digest()).decode()
+        if not hmac.compare_digest(expected, sig_b64):
+            return None
+        payload = json.loads(_b64url_decode(claims_b64))
+        if payload.get("exp", float("inf")) < time.time():
+            return None
+        return payload
+    except (ValueError, json.JSONDecodeError):
+        return None
+
+
 def verify_api_key(authorization: str | None,
                    config: AuthConfig | None = None) -> bool:
     """Constant-time check of the service key (admin key also accepted —
