@@ -22,6 +22,7 @@ def register(app: web.Application) -> None:
     if os.environ.get("ENVIRONMENT", "development") == "development":
         app.router.add_get("/debug/routes", debug_routes)
         app.router.add_get("/debug/device", debug_device)
+        app.router.add_post("/debug/profile", debug_profile)
 
 
 async def banner(request: web.Request) -> web.Response:
@@ -111,6 +112,32 @@ async def debug_routes(request: web.Request) -> web.Response:
               for r in request.app.router.routes()
               if r.resource is not None]
     return web.json_response({"routes": routes, "count": len(routes)})
+
+
+async def debug_profile(request: web.Request) -> web.Response:
+    """Capture a jax.profiler trace of a probe workload (dev only).
+
+    The reference had no tracer at all (SURVEY.md §5 — wall-clock timers
+    only); this exposes real XLA/TPU traces viewable in TensorBoard or
+    Perfetto. Body: {"duration_ms": 500, "trace_dir": "/tmp/vdb_trace"}.
+    """
+    import jax
+    import jax.numpy as jnp
+    try:
+        payload = await request.json()
+    except Exception:  # noqa: BLE001
+        payload = {}
+    trace_dir = payload.get("trace_dir", "/tmp/vdb_trace")
+    duration_s = min(float(payload.get("duration_ms", 500)), 10_000) / 1e3
+    x = jnp.ones((1024, 1024))
+    with jax.profiler.trace(trace_dir):
+        deadline = time.time() + duration_s
+        while time.time() < deadline:
+            x = x @ x * 1e-3
+        jax.block_until_ready(x)
+    return web.json_response({"trace_dir": trace_dir,
+                              "duration_s": duration_s,
+                              "view": "tensorboard --logdir <trace_dir>"})
 
 
 async def debug_device(request: web.Request) -> web.Response:

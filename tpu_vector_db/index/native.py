@@ -25,14 +25,19 @@ _tried = False
 
 
 def _compile() -> bool:
-    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
-           str(_SRC), "-o", str(_LIB)]
-    try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        return True
-    except (subprocess.SubprocessError, FileNotFoundError) as exc:
-        logger.warning("native graph builder unavailable (%s)", exc)
-        return False
+    base = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+            "-funroll-loops", str(_SRC), "-o", str(_LIB)]
+    # -march=native vectorizes the distance loops (4-8x); fall back for
+    # compilers/targets that reject it
+    for extra in (["-march=native", "-ffast-math"], []):
+        try:
+            subprocess.run(base[:-3] + extra + base[-3:], check=True,
+                           capture_output=True, timeout=120)
+            return True
+        except (subprocess.SubprocessError, FileNotFoundError) as exc:
+            last = exc
+    logger.warning("native graph builder unavailable (%s)", last)
+    return False
 
 
 def load() -> ctypes.CDLL | None:
