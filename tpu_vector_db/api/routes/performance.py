@@ -13,8 +13,7 @@ import time
 
 from aiohttp import web
 
-from tpu_vector_db.api.models import BenchmarkRequest
-from tpu_vector_db.api.routes._helpers import parse_model, require_api_key
+from tpu_vector_db.api.routes._helpers import require_api_key
 from tpu_vector_db.ops.monitor import performance_monitor
 
 

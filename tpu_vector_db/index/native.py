@@ -28,8 +28,9 @@ def _compile() -> bool:
     base = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
             "-funroll-loops", str(_SRC), "-o", str(_LIB)]
     # -march=native vectorizes the distance loops (4-8x); fall back for
-    # compilers/targets that reject it
-    for extra in (["-march=native", "-ffast-math"], []):
+    # compilers/targets that reject it. NOT -ffast-math: linking
+    # crtfastmath.o flips the process-wide FTZ/DAZ flags on dlopen.
+    for extra in (["-march=native", "-ffp-contract=fast"], []):
         try:
             subprocess.run(base[:-3] + extra + base[-3:], check=True,
                            capture_output=True, timeout=120)

@@ -9,7 +9,6 @@ merge). This is the 10M×128D-on-v5e-8 configuration from BASELINE.md.
 
 from __future__ import annotations
 
-import functools
 import logging
 
 import jax

@@ -16,12 +16,11 @@ reference hard-required mlx_embeddings and 4-bit community checkpoints,
 
 from __future__ import annotations
 
-import functools
 import hashlib
 import logging
 import re
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp

@@ -17,8 +17,6 @@ import re
 import time
 from dataclasses import dataclass
 
-import numpy as np
-
 from tpu_vector_db.ops.distance import raw_score_to_similarity_distance
 from tpu_vector_db.pipeline.encoders import (
     EMBEDDING_MODEL_REGISTRY, BaseEncoder, create_encoder)
