@@ -113,7 +113,11 @@ class Builder {
             }
         };
         // entries: spread over built range
-        int entries = std::min<int64_t>(built_, 8);
+        // spread entry set scales with graph size: the coarse routing
+        // level that keeps distant clusters reachable
+        int entries = static_cast<int>(std::min<int64_t>(
+            built_, std::max<int64_t>(64, std::min<int64_t>(
+                1024, built_ / 64))));
         for (int e = 0; e < entries; ++e)
             visit(static_cast<int32_t>((built_ - 1) * static_cast<int64_t>(e) /
                                        std::max(entries - 1, 1)));

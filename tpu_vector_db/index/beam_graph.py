@@ -237,9 +237,22 @@ class BeamGraphIndex:
         self._graph, self._edge_keys, self._cap = graph, keys, cap
         self._graph_dev = jnp.asarray(graph)
 
+    def _entry_target(self) -> int:
+        """Entry-point count scales with N (power-of-two bucketed so the
+        search jit only recompiles on doublings). A large, spread entry set
+        is this index's coarse routing level — the role HNSW's upper layers
+        play. With few fixed entries, well-separated clusters in high
+        dimension become unreachable islands (measured: recall@10 collapsed
+        to 0.22 on 300K x 768D clustered data with 8 entries)."""
+        target = max(self.entry_count, min(1024, self._n // 64))
+        bucket = self.entry_count
+        while bucket * 2 <= target:
+            bucket *= 2
+        return bucket
+
     def _refresh_entries(self) -> None:
         n = max(self._n, 1)
-        count = min(self.entry_count, n)
+        count = min(self._entry_target(), n)
         self._entries = np.unique(
             np.linspace(0, n - 1, count).astype(np.int32))
 
@@ -291,7 +304,7 @@ class BeamGraphIndex:
                 "backend": "cpu-native"}
 
     def install_graph(self, graph: np.ndarray, edge_keys: np.ndarray,
-                      entries: np.ndarray) -> None:
+                      entries: np.ndarray | None = None) -> None:
         n = graph.shape[0]
         if graph.shape[1] != self.R:
             raise ValueError(f"graph degree {graph.shape[1]} != R {self.R}")
@@ -302,7 +315,13 @@ class BeamGraphIndex:
         self._graph[:n] = graph
         self._edge_keys[:n] = edge_keys
         self._n = n
-        self._entries = entries.astype(np.int32)
+        # always size the routing set by _entry_target (a too-small entry
+        # set fragments recall on clustered data); provided entries are only
+        # kept when larger
+        if entries is not None and len(entries) >= self._entry_target():
+            self._entries = entries.astype(np.int32)
+        else:
+            self._refresh_entries()
         self._graph_dev = jnp.asarray(self._graph)
 
     def add(self, db, old_count: int, new_count: int, sqnorms=None) -> dict:
@@ -343,8 +362,8 @@ class BeamGraphIndex:
             batch_ids = np.arange(start, bend, dtype=np.int32)
             self._insert_batch(db, batch_ids, sqnorms, exclude_self=False)
             self._n = bend
+            self._refresh_entries()  # routing set must track graph growth
             start = bend
-        self._refresh_entries()
 
     def _insert_batch(self, db, batch_ids: np.ndarray, sqnorms,
                       exclude_self: bool) -> None:
