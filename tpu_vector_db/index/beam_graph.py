@@ -381,6 +381,18 @@ class BeamGraphIndex:
             self_mask = cand_ids == ids_dev[:, None]
             cand_keys = jnp.where(self_mask, NEG_INF, cand_keys)
             cand_ids = jnp.where(self_mask, -1, cand_ids)
+            # union with the node's EXISTING edges: reverse edges carry the
+            # long-range links that keep distant clusters reachable; a
+            # search-only candidate set would overwrite them with nearest
+            # neighbors and disconnect the graph (measured: refine without
+            # this dropped clustered recall 0.90 -> 0.61)
+            cur_ids = jnp.asarray(self._graph[batch_ids])       # (B, R)
+            cur_keys = jnp.asarray(self._edge_keys[batch_ids])
+            dup = (cur_ids[:, :, None] == cand_ids[:, None, :]).any(-1)
+            cur_keys = jnp.where(dup | (cur_ids < 0), NEG_INF, cur_keys)
+            cur_ids = jnp.where(dup, -1, cur_ids)
+            cand_ids = jnp.concatenate([cand_ids, cur_ids], axis=1)
+            cand_keys = jnp.concatenate([cand_keys, cur_keys], axis=1)
         n_ids, n_keys = alpha_prune(
             queries, db, cand_ids, cand_keys, self.R,
             self.metric, sqnorms=sqnorms, alpha=self.alpha)
