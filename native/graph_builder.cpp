@@ -136,23 +136,40 @@ class Builder {
         std::reverse(out.begin(), out.end());  // best first
     }
 
-    // greedy alpha-diversity prune (same rule as the on-device pass):
-    // walking best-to-worst, keep c unless a kept j is closer to c than the
-    // base is (scaled by alpha). cands must be sorted best-first.
-    void alpha_prune(const std::vector<Candidate>& cands,
-                     std::vector<Candidate>& kept) {
-        kept.clear();
+    // TWO-PHASE greedy diversity prune (Vamana/DiskANN; mirrors the
+    // on-device pass): alpha=1 builds the sparse RNG skeleton (covers away
+    // same-cluster near-duplicates, leaving room for cluster-bridging
+    // edges); a second pass at alpha>1 fills remaining slots with
+    // shortcuts. cands must be sorted best-first. exclude: id never kept.
+    void prune_pass(const std::vector<Candidate>& cands, float a,
+                    int32_t exclude, std::vector<Candidate>& kept) {
         for (const Candidate& c : cands) {
             if (static_cast<int>(kept.size()) >= R_) break;
-            if (c.id < 0) continue;
+            if (c.id < 0 || c.id == exclude) continue;
+            bool already = false;
+            for (const Candidate& j : kept)
+                if (j.id == c.id) { already = true; break; }
+            if (already) continue;
             float base = key_to_dist(c.key, metric_);
             bool ok = true;
             for (const Candidate& j : kept) {
                 float dj = key_to_dist(key(j.id, c.id), metric_);
-                if (alpha_ * dj <= base) { ok = false; break; }
+                if (a * dj <= base) { ok = false; break; }
             }
             if (ok) kept.push_back(c);
         }
+    }
+
+    void alpha_prune(const std::vector<Candidate>& cands,
+                     std::vector<Candidate>& kept, int32_t exclude = -1) {
+        kept.clear();
+        prune_pass(cands, 1.0f, exclude, kept);
+        if (alpha_ > 1.0f) prune_pass(cands, alpha_, exclude, kept);
+        // re-sort kept by key so row slot order stays best-first
+        std::sort(kept.begin(), kept.end(),
+                  [](const Candidate& a, const Candidate& b) {
+                      return a.key > b.key;
+                  });
     }
 
     void set_row(int64_t u, const std::vector<Candidate>& kept) {
@@ -201,18 +218,7 @@ class Builder {
     // prune candidates of row v (base node v itself)
     void base_prune(int64_t v, const std::vector<Candidate>& cands,
                     std::vector<Candidate>& kept) {
-        kept.clear();
-        for (const Candidate& c : cands) {
-            if (static_cast<int>(kept.size()) >= R_) break;
-            if (c.id < 0 || c.id == static_cast<int32_t>(v)) continue;
-            float base = key_to_dist(c.key, metric_);
-            bool ok = true;
-            for (const Candidate& j : kept) {
-                float dj = key_to_dist(key(j.id, c.id), metric_);
-                if (alpha_ * dj <= base) { ok = false; break; }
-            }
-            if (ok) kept.push_back(c);
-        }
+        alpha_prune(cands, kept, static_cast<int32_t>(v));
     }
 
     const float* vecs_;

@@ -125,7 +125,7 @@ def beam_search(queries, db, graph, entries, count, k: int, ef: int,
 
 # ------------------------------------------------------------ alpha pruning
 
-@functools.partial(jax.jit, static_argnames=("R", "metric"))
+@functools.partial(jax.jit, static_argnames=("R", "metric", "alpha"))
 def alpha_prune(queries, db, cand_ids, cand_keys, R: int, metric: str,
                 sqnorms=None, alpha: float = 1.0):
     """Greedy diversity pruning (Vamana robust-prune) on device.
@@ -154,19 +154,30 @@ def alpha_prune(queries, db, cand_ids, cand_keys, R: int, metric: str,
         pdist = -cross
         base_dist = -cand_keys
 
+    width = cand_ids.shape[1]
     valid = cand_ids >= 0
-    col = jnp.arange(efc)
+    col = jnp.arange(width)
 
-    def body(kept, i):
-        # violation: some kept j has alpha * d(j, i) <= d(base, i)
-        viol = (kept & (alpha * pdist[:, :, i] <= base_dist[:, i][:, None])
-                ).any(axis=1)
-        ok = valid[:, i] & ~viol & (jnp.sum(kept, axis=1) < R)
-        kept = kept.at[:, i].set(ok)
-        return kept, None
+    def make_body(a):
+        def body(kept, i):
+            # violation: some kept j has a * d(j, i) <= d(base, i)
+            viol = (kept & (a * pdist[:, :, i] <= base_dist[:, i][:, None])
+                    ).any(axis=1)
+            ok = valid[:, i] & ~viol & (jnp.sum(kept, axis=1) < R)
+            kept = kept.at[:, i].max(ok)  # bool OR: stays kept once kept
+            return kept, None
+        return body
 
+    # TWO-PHASE prune (Vamana/DiskANN): pass 1 at alpha=1 builds the sparse
+    # RNG skeleton — on clustered data it covers away most same-cluster
+    # candidates, leaving slots for cluster-bridging edges; pass 2 at
+    # alpha>1 relaxes coverage to fill remaining slots with shortcuts.
+    # Single-phase alpha>1 filled every slot with near neighbors and
+    # disconnected clusters (measured recall 0.61 vs entry-coverage bound).
     kept, _ = jax.lax.scan(
-        body, jnp.zeros((b, efc), jnp.bool_), col)
+        make_body(1.0), jnp.zeros((b, width), jnp.bool_), col)
+    if alpha > 1.0:
+        kept, _ = jax.lax.scan(make_body(alpha), kept, col)
 
     sort_key = jnp.where(kept, cand_keys, NEG_INF)
     top_keys, pos = jax.lax.top_k(sort_key, R)
