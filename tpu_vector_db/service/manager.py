@@ -46,8 +46,10 @@ class VectorStoreManager:
     # ------------------------------------------------------------ lifecycle
 
     def _store_path(self, user_id: str, model_id: str) -> Path:
-        safe = lambda s: "".join(  # noqa: E731
-            c if c.isalnum() or c in "-_." else "_" for c in s)
+        def safe(s: str) -> str:
+            cleaned = "".join(
+                c if c.isalnum() or c in "-_" else "_" for c in s)
+            return cleaned or "_"  # "..", "." and "" all collapse to "_"
         return self.base_path / safe(user_id) / safe(model_id)
 
     def _make_store(self, path: Path, config: VectorStoreConfig):
