@@ -32,7 +32,10 @@ class VectorStoreManager:
     """Registry of tenant stores keyed (user_id, model_id)."""
 
     def __init__(self, base_path: str | os.PathLike = DEFAULT_BASE,
-                 max_workers: int = 4, sharded: bool = False) -> None:
+                 max_workers: int = 4, sharded: bool | None = None) -> None:
+        if sharded is None:
+            # serve sharded stores across all visible devices when asked
+            sharded = os.environ.get("VECTOR_DB_SHARDED", "0") == "1"
         self.base_path = Path(base_path)
         self._stores: dict[tuple[str, str], TPUVectorStore] = {}
         self._lock = threading.Lock()
