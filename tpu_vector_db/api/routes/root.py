@@ -83,6 +83,15 @@ async def system_info(request: web.Request) -> web.Response:
             "device_count": jax.device_count(),
             "devices": [str(d) for d in jax.devices()],
         }
+        # device memory introspection (the reference exposed Metal pool
+        # stats, mlx_lm_pipeline.py:399-448)
+        mem = jax.devices()[0].memory_stats() or {}
+        if mem:
+            info["accelerator"]["memory"] = {
+                "bytes_in_use": mem.get("bytes_in_use"),
+                "bytes_limit": mem.get("bytes_limit"),
+                "peak_bytes_in_use": mem.get("peak_bytes_in_use"),
+            }
     except Exception as exc:  # noqa: BLE001
         info["accelerator"] = {"error": str(exc)}
     return web.json_response(info)
