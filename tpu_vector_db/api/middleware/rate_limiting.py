@@ -115,8 +115,10 @@ class InMemoryRateLimiter:
             minute.append(now)
             hour.append(now)
             self._concurrent[key] = self._concurrent.get(key, 0) + 1
+            # report the EFFECTIVE minute limit (incl. burst) so
+            # remaining <= limit always holds in the headers
             return RateLimitDecision(
-                True, cfg.requests_per_minute,
+                True, minute_limit,
                 max(minute_limit - len(minute), 0),
                 60.0)
 

@@ -374,7 +374,14 @@ class TPUVectorStore:
             # ~2^-64 but correctness is contractual)
             if filter_metadata and not metadata_matches(meta, filter_metadata):
                 continue
-            raw = float(np.sqrt(max(-key, 0.0))) if self.metric == "euclidean" else float(key)
+            if self.metric == "euclidean":
+                raw = float(np.sqrt(max(-key, 0.0)))
+            elif self.metric == "cosine":
+                # bf16 matmuls can round a unit self-similarity to ~1.0002;
+                # cosine scores are contractually in [-1, 1]
+                raw = float(np.clip(key, -1.0, 1.0))
+            else:
+                raw = float(key)
             indices.append(int(i))
             scores.append(raw)
             metas.append(meta)
