@@ -22,18 +22,24 @@ def main() -> None:
         enable_ann=True,
         persist_mode="off",
         # hnswlib-compatible knobs; build_backend: "tpu" | "cpu" (native C++)
-        ann_params={"M": 16, "ef_construction": 100, "ef_search": 100,
+        ann_params={"M": 16, "ef_construction": 200, "ef_search": 100,
                     "build_backend": "auto"},
     ))
     store.clear()
 
-    vectors = rng.standard_normal((20_000, 128)).astype(np.float32)
+    # clustered data, like real embedding distributions (uniform random
+    # vectors are the adversarial regime for every graph index — see
+    # BENCHMARKS.md)
+    centers = rng.standard_normal((200, 128)).astype(np.float32) * 3
+    vectors = (centers[rng.integers(0, 200, 20_000)] +
+               rng.standard_normal((20_000, 128))).astype(np.float32)
     t0 = time.time()
     store.add_vectors(vectors)
     print(f"ingest+index 20K: {time.time() - t0:.1f}s "
           f"(index: {store._ann.get_stats()})")
 
-    queries = rng.standard_normal((50, 128)).astype(np.float32)
+    queries = (centers[rng.integers(0, 200, 50)] +
+               rng.standard_normal((50, 128))).astype(np.float32)
     hits = misses = 0
     for q in queries:
         ann_ids, _, _ = store.query(q, k=10)                 # beam graph

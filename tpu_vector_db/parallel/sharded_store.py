@@ -29,6 +29,14 @@ logger = logging.getLogger(__name__)
 class ShardedVectorStore(TPUVectorStore):
     def __init__(self, store_path, config: VectorStoreConfig | None = None,
                  mesh=None) -> None:
+        if config is not None and config.enable_ann:
+            # the beam-search gathers would cross shards on every iteration;
+            # per-shard subgraphs + merged search are future work — the
+            # sharded FLAT scan is the supported distributed engine
+            logger.warning("ANN is not yet supported on sharded stores; "
+                           "serving with the sharded flat scan")
+            from dataclasses import replace
+            config = replace(config, enable_ann=False)
         self.mesh = mesh if mesh is not None else make_device_mesh()
         self._n_dev = self.mesh.devices.size
         self._row_sharding = row_sharding(self.mesh)

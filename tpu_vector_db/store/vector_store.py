@@ -419,7 +419,13 @@ class TPUVectorStore:
                 return [([], [], []) for _ in range(arr.shape[0])]
             k_eff = min(int(k), self._count)
 
-            if use_ann and self.config.enable_ann and self._ann is not None:
+            # routing: ANN only pays off past the fused flat scan's
+            # crossover (the exact sweep does 1M rows in ~3.4ms on a v5e);
+            # ann_min_rows=0 (default) preserves reference semantics
+            # (always use the index when enabled)
+            min_rows = self.config.ann_params.get("ann_min_rows", 0)
+            if (use_ann and self.config.enable_ann and
+                    self._ann is not None and self._count >= min_rows):
                 try:
                     return self._ann_batch_query(arr, k_eff, filter_metadata)
                 except Exception:  # noqa: BLE001 — parity: fall back to exact
