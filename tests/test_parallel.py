@@ -143,3 +143,59 @@ class TestServingMesh2D:
         np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
         np.testing.assert_allclose(np.asarray(keys), np.asarray(ref_keys),
                                    atol=1e-4)
+
+
+class TestShardedANN:
+    def test_sharded_ann_recall_and_merge(self, tmp_path, rng):
+        from tpu_vector_db.index import native
+        if not native.available():
+            pytest.skip("no native builder")
+        d, n = 32, 4000
+        # clustered data (the regime ANN serves)
+        centers = rng.standard_normal((50, d)).astype(np.float32) * 3
+        vecs = (centers[rng.integers(0, 50, n)] +
+                rng.standard_normal((n, d))).astype(np.float32)
+        cfg = VectorStoreConfig(
+            dimension=d, block_rows=128, initial_capacity=128,
+            persist_mode="off", enable_ann=True,
+            ann_params={"M": 8, "ef_construction": 64, "ef_search": 64})
+        store = ShardedVectorStore(tmp_path / "sann", cfg,
+                                   mesh=make_device_mesh(8))
+        store.add_vectors(vecs, [{"g": i % 3} for i in range(n)])
+        assert store._ann is not None and store._ann.built
+
+        queries = (centers[rng.integers(0, 50, 20)] +
+                   rng.standard_normal((20, d))).astype(np.float32)
+        hits = total = 0
+        for q in queries:
+            ann_ids, ann_scores, _ = store.query(q, k=5)
+            exact_ids, _, _ = store.query(q, k=5, use_ann=False)
+            hits += len(set(ann_ids) & set(exact_ids))
+            total += len(exact_ids)
+            assert len(ann_ids) == 5
+            assert all(ann_scores[i] >= ann_scores[i + 1]
+                       for i in range(len(ann_scores) - 1))
+        assert hits / total >= 0.9, f"sharded ANN recall {hits/total:.3f}"
+
+        # filtered path oversamples + post-checks
+        idx, _, meta = store.query(queries[0], k=5,
+                                   filter_metadata={"g": 1})
+        assert all(m["g"] == 1 for m in meta)
+
+    def test_sharded_ann_self_query(self, tmp_path, rng):
+        from tpu_vector_db.index import native
+        if not native.available():
+            pytest.skip("no native builder")
+        d = 16
+        cfg = VectorStoreConfig(
+            dimension=d, block_rows=64, initial_capacity=64,
+            persist_mode="off", enable_ann=True,
+            ann_params={"M": 8, "ef_construction": 64, "ef_search": 64})
+        store = ShardedVectorStore(tmp_path / "s2", cfg,
+                                   mesh=make_device_mesh(8))
+        vecs = rng.standard_normal((900, d)).astype(np.float32)
+        store.add_vectors(vecs)
+        # self-queries across different shards must find themselves
+        for probe in (3, 450, 890):
+            idx, scores, _ = store.query(vecs[probe], k=1)
+            assert idx == [probe] and scores[0] > 0.999

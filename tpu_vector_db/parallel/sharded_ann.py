@@ -1,0 +1,142 @@
+"""Sharded ANN: independent per-shard beam-graph subgraphs + ICI merge.
+
+A capability beyond both the reference (single device, SURVEY.md §2.2) and
+classical HNSW deployments: each mesh shard owns an independent beam-graph
+over its local rows; a query runs the SAME batched beam search on every
+shard in parallel under shard_map (all gathers stay shard-local), and the
+per-shard top-k merge with one k·P all-gather — identical communication
+pattern to the sharded flat scan. Union-of-local-top-k equals global top-k
+whenever each local search recalls its shard's true local winners, so
+global recall matches single-shard recall on the same data.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tpu_vector_db.index.beam_graph import BeamGraphIndex, beam_search
+from tpu_vector_db.parallel.mesh import SHARD_AXIS
+
+logger = logging.getLogger(__name__)
+
+
+class ShardedBeamGraph:
+    """P independent subgraphs over contiguous row ranges of a sharded
+    store. Built host-side with the native C++ builder (one subgraph per
+    shard); searched on the mesh."""
+
+    def __init__(self, dim: int, metric: str, mesh: Mesh, M: int = 16,
+                 ef_construction: int = 200, alpha: float = 1.2,
+                 axis_name: str = SHARD_AXIS) -> None:
+        self.dim = dim
+        self.metric = metric
+        self.mesh = mesh
+        self.axis_name = axis_name
+        self.n_dev = mesh.devices.size
+        self.M = int(M)
+        self.R = 2 * int(M)
+        self.ef_construction = int(ef_construction)
+        self.alpha = float(alpha)
+        self._graph_dev = None       # (cap, R) int32, row-sharded
+        self._entries_dev = None     # (P, E) int32, sharded on axis 0
+        self._rows_per_shard = 0
+        self._count = 0
+        self.build_time_s = 0.0
+
+    @property
+    def built(self) -> bool:
+        return self._graph_dev is not None
+
+    @property
+    def size(self) -> int:
+        return self._count
+
+    def build(self, host_vectors: np.ndarray, count: int,
+              capacity: int) -> dict:
+        """host_vectors: RAW (count, d) f32. capacity: the sharded store's
+        device capacity (multiple of n_dev)."""
+        import time
+        t0 = time.perf_counter()
+        assert capacity % self.n_dev == 0
+        rows = capacity // self.n_dev
+        graphs = np.full((capacity, self.R), -1, np.int32)
+        entry_lists: list[np.ndarray] = []
+        sub = BeamGraphIndex(dim=self.dim, metric=self.metric, M=self.M,
+                             ef_construction=self.ef_construction,
+                             alpha=self.alpha)
+        for s in range(self.n_dev):
+            lo = s * rows
+            hi = min(count, lo + rows)
+            local_n = max(hi - lo, 0)
+            if local_n > 0:
+                sub.build_cpu(host_vectors[lo:hi], local_n)
+                graphs[lo: lo + local_n] = sub._graph[:local_n]
+                entry_lists.append(sub._entries.copy())
+            else:
+                entry_lists.append(np.empty((0,), np.int32))
+
+        e_max = 1
+        while e_max < max((len(e) for e in entry_lists), default=1):
+            e_max *= 2
+        entries = np.full((self.n_dev, e_max), -1, np.int32)
+        for s, e in enumerate(entry_lists):
+            entries[s, : len(e)] = e
+
+        self._rows_per_shard = rows
+        self._count = count
+        self._graph_dev = jax.device_put(
+            jnp.asarray(graphs),
+            NamedSharding(self.mesh, P(self.axis_name, None)))
+        self._entries_dev = jax.device_put(
+            jnp.asarray(entries),
+            NamedSharding(self.mesh, P(self.axis_name, None)))
+        self.build_time_s = time.perf_counter() - t0
+        return {"nodes": count, "shards": self.n_dev,
+                "build_time_s": self.build_time_s}
+
+    def make_search_fn(self, k: int, ef_search: int, with_sqnorms: bool):
+        """(queries, db, count[, sqnorms]) -> replicated (keys, gids)."""
+        ef = max(ef_search, k)
+        iters = max(ef // 8, 8)
+        axis = self.axis_name
+        metric = self.metric
+
+        def core(queries, db, count, graph, entries, sqnorms):
+            rows_local = db.shape[0]
+            shard_id = jax.lax.axis_index(axis)
+            offset = shard_id * rows_local
+            local_count = jnp.clip(count - offset, 0,
+                                   rows_local).astype(jnp.int32)
+            ids, keys = beam_search(
+                queries, db, graph, entries.reshape(-1), local_count,
+                k=k, ef=ef, beam_width=8, iters=iters, metric=metric,
+                sqnorms=sqnorms)
+            gids = jnp.where(ids >= 0, ids + offset, -1)
+            all_keys = jax.lax.all_gather(keys, axis, axis=1, tiled=True)
+            all_ids = jax.lax.all_gather(gids, axis, axis=1, tiled=True)
+            vals, sel = jax.lax.top_k(all_keys, k)
+            return vals, jnp.take_along_axis(all_ids, sel, axis=-1)
+
+        row = P(axis)
+        if with_sqnorms:
+            fn = core
+            in_specs = (P(), P(axis, None), P(), P(axis, None),
+                        P(axis, None), row)
+        else:
+            fn = lambda q, db, c, g, e: core(q, db, c, g, e, None)  # noqa: E731
+            in_specs = (P(), P(axis, None), P(), P(axis, None),
+                        P(axis, None))
+        sharded = jax.shard_map(fn, mesh=self.mesh, in_specs=in_specs,
+                                out_specs=(P(), P()), check_vma=False)
+        return jax.jit(sharded)
+
+    def get_stats(self) -> dict:
+        return {"type": "sharded_beam_graph", "nodes": self._count,
+                "shards": self.n_dev, "M": self.M, "R": self.R,
+                "ef_construction": self.ef_construction,
+                "build_time_s": round(self.build_time_s, 3)}

@@ -29,14 +29,6 @@ logger = logging.getLogger(__name__)
 class ShardedVectorStore(TPUVectorStore):
     def __init__(self, store_path, config: VectorStoreConfig | None = None,
                  mesh=None) -> None:
-        if config is not None and config.enable_ann:
-            # the beam-search gathers would cross shards on every iteration;
-            # per-shard subgraphs + merged search are future work — the
-            # sharded FLAT scan is the supported distributed engine
-            logger.warning("ANN is not yet supported on sharded stores; "
-                           "serving with the sharded flat scan")
-            from dataclasses import replace
-            config = replace(config, enable_ann=False)
         self.mesh = mesh if mesh is not None else make_device_mesh()
         self._n_dev = self.mesh.devices.size
         self._row_sharding = row_sharding(self.mesh)
@@ -98,7 +90,79 @@ class ShardedVectorStore(TPUVectorStore):
             self._dirty = True
             if self.config.persist_mode == "sync":
                 self._save()
+            if self.config.enable_ann:
+                self._refresh_ann()
         return {"added": n, "total": self._count}
+
+    # ------------------------------------------------------------------ ANN
+
+    def _refresh_ann(self, incremental_from=None) -> None:
+        """Per-shard subgraphs (parallel/sharded_ann.py), rebuilt from host
+        vectors on every add batch (incremental sharded insertion is future
+        work). Requires the native builder; degrades to the sharded flat
+        scan otherwise."""
+        from tpu_vector_db.index import native
+        if self._count == 0:
+            return
+        if not native.available():
+            logger.warning("sharded ANN needs the native builder; "
+                           "serving with the sharded flat scan")
+            self._ann = None
+            return
+        from tpu_vector_db.parallel.sharded_ann import ShardedBeamGraph
+        p = self.config.ann_params
+        self._ann = ShardedBeamGraph(
+            dim=self.config.dimension, metric=self.metric, mesh=self.mesh,
+            M=p.get("M", 16),
+            ef_construction=p.get("ef_construction", 200),
+            alpha=p.get("alpha", 1.2))
+        self._ann.build(self._host_buf, self._count, self._cap)
+        self._ann_stale = False
+        self._ann_fns: dict = {}
+
+    def _ann_batch_query(self, arr: np.ndarray, k: int,
+                         filter_metadata: dict | None):
+        from tpu_vector_db.store.vector_store import metadata_matches
+        ef = self.config.ann_params.get("ef_search", 100)
+        fetch_k = min(self._count, k * 10) if filter_metadata else k
+        key = (fetch_k, max(ef, fetch_k), self._cap)
+        fns = getattr(self, "_ann_fns", None)
+        if fns is None:
+            self._ann_fns = fns = {}
+        if key not in fns:
+            fns[key] = self._ann.make_search_fn(
+                fetch_k, max(ef, fetch_k),
+                with_sqnorms=(self._sqnorms is not None))
+        q = jax.device_put(self._prepare_queries(arr), self._replicated)
+        count = jax.device_put(jnp.int32(self._count), self._replicated)
+        args = [q, self._db, count, self._ann._graph_dev,
+                self._ann._entries_dev]
+        if self._sqnorms is not None:
+            args.append(self._sqnorms)
+        keys, labels = fns[key](*args)
+        keys, labels = np.asarray(keys), np.asarray(labels)
+        out = []
+        for row_keys, row_labels in zip(keys, labels):
+            indices, scores, metas = [], [], []
+            for key_v, i in zip(row_keys, row_labels):
+                i = int(i)
+                if i < 0 or len(indices) >= k:
+                    continue
+                meta = self._metadata[i]
+                if filter_metadata and not metadata_matches(
+                        meta, filter_metadata):
+                    continue
+                if self.metric == "euclidean":
+                    raw = float(np.sqrt(max(-key_v, 0.0)))
+                elif self.metric == "cosine":
+                    raw = float(np.clip(key_v, -1.0, 1.0))
+                else:
+                    raw = float(key_v)
+                indices.append(i)
+                scores.append(raw)
+                metas.append(meta)
+            out.append((indices, scores, metas))
+        return out
 
     def _filter_mask(self, filter_metadata: dict):
         mask = super()._filter_mask(filter_metadata)
