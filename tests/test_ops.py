@@ -181,3 +181,22 @@ class TestPallasScan:
         with pytest.raises(ValueError):
             pallas_flat_topk(jnp.zeros((1, 128)), jnp.zeros((512, 128)),
                              np.int32(10), 100, interpret=True)
+
+    def test_pallas_filter_mask(self, rng):
+        from tpu_vector_db.ops.pallas_scan import pallas_flat_topk
+        n, d = 1024, 64
+        db = rng.standard_normal((n, d)).astype(np.float32)
+        dbj = D.l2_normalize(jnp.asarray(db))
+        mask = np.zeros(n, np.bool_)
+        mask[100:200] = True
+        vals, idx = pallas_flat_topk(
+            dbj[:2], dbj, np.int32(n), 5, metric="cosine",
+            filter_mask=jnp.asarray(mask), block_rows=512, interpret=True)
+        rvals, ridx = flat_scan_topk(
+            dbj[:2], dbj, jnp.int32(n), 5, metric="cosine",
+            db_normalized=True, filter_mask=jnp.asarray(mask),
+            block_rows=512)
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(ridx))
+        idx = np.asarray(idx)
+        live = np.isfinite(np.asarray(vals))
+        assert np.all((idx[live] >= 100) & (idx[live] < 200))

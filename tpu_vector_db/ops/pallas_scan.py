@@ -46,9 +46,9 @@ def pick_block_rows(d_pad: int, itemsize: int) -> int:
     return block
 
 
-def _scan_kernel(count_ref, q_ref, db_ref, sq_ref, vals_ref, idx_ref,
-                 best_vals, best_idx, *, k: int, block_rows: int,
-                 metric: str):
+def _scan_kernel(count_ref, q_ref, db_ref, sq_ref, mask_ref, vals_ref,
+                 idx_ref, best_vals, best_idx, *, k: int, block_rows: int,
+                 metric: str, filtered: bool):
     i = pl.program_id(0)
     n_blocks = pl.num_programs(0)
 
@@ -69,7 +69,10 @@ def _scan_kernel(count_ref, q_ref, db_ref, sq_ref, vals_ref, idx_ref,
     base = i * block_rows
     local = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
     gids = base + local
-    scores = jnp.where(gids < count, scores, NEG_INF)
+    live = gids < count
+    if filtered:  # metadata filter mask, streamed per block like sqnorms
+        live = jnp.logical_and(live, mask_ref[:][None, :] != 0)
+    scores = jnp.where(live, scores, NEG_INF)
 
     # LAZY MERGE: the k-pass extraction costs k passes over (Q, B) on the
     # VPU — the kernel bottleneck for small d. A block only needs merging
@@ -108,7 +111,8 @@ def _scan_kernel(count_ref, q_ref, db_ref, sq_ref, vals_ref, idx_ref,
     jax.jit,
     static_argnames=("k", "metric", "block_rows", "interpret"))
 def pallas_flat_topk(queries, db, count, k: int, metric: str = "cosine",
-                     db_sqnorms=None, block_rows: int | None = None,
+                     db_sqnorms=None, filter_mask=None,
+                     block_rows: int | None = None,
                      interpret: bool = False):
     """Exact top-k over prepared (cosine: pre-normalized) db rows.
 
@@ -128,6 +132,9 @@ def pallas_flat_topk(queries, db, count, k: int, metric: str = "cosine",
     if db_sqnorms is None:
         # dummy streamed input keeps the kernel signature uniform
         db_sqnorms = jnp.zeros((n_pad,), jnp.float32)
+    filtered = filter_mask is not None
+    mask = (filter_mask.astype(jnp.int8) if filtered
+            else jnp.zeros((n_pad,), jnp.int8))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -139,6 +146,8 @@ def pallas_flat_topk(queries, db, count, k: int, metric: str = "cosine",
                          memory_space=pltpu.VMEM),      # db: streamed
             pl.BlockSpec((block,), lambda i, s: (i,),
                          memory_space=pltpu.VMEM),      # sqnorms: streamed
+            pl.BlockSpec((block,), lambda i, s: (i,),
+                         memory_space=pltpu.VMEM),      # filter: streamed
         ],
         out_specs=[
             pl.BlockSpec((q_n, k), lambda i, s: (0, 0),
@@ -153,7 +162,7 @@ def pallas_flat_topk(queries, db, count, k: int, metric: str = "cosine",
     )
 
     kernel = functools.partial(_scan_kernel, k=k, block_rows=block,
-                               metric=metric)
+                               metric=metric, filtered=filtered)
     vals, idx = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -166,7 +175,7 @@ def pallas_flat_topk(queries, db, count, k: int, metric: str = "cosine",
             bytes_accessed=n_pad * d_pad * db.dtype.itemsize,
             transcendentals=0),
         interpret=interpret,
-    )(jnp.asarray([count], jnp.int32), q, db, db_sqnorms)
+    )(jnp.asarray([count], jnp.int32), q, db, db_sqnorms, mask)
 
     if metric == "euclidean":
         q_sq = jnp.sum(queries.astype(jnp.float32) ** 2, axis=-1,

@@ -66,14 +66,15 @@ def _query_packed(queries, db, count, k, metric, db_normalized,
     exact for any row id.
 
     engine="pallas" uses the fused single-sweep kernel (ops/pallas_scan.py,
-    ~1.5x the XLA scan's QPS at 1M x 768D bf16); it has no filter-mask path
-    yet, so filtered queries stay on XLA."""
-    if engine == "pallas" and filter_mask is None:
+    ~1.5x the XLA scan's QPS at 1M x 768D bf16); metadata filters stream
+    into the kernel as a per-block int8 mask."""
+    if engine == "pallas":
         from tpu_vector_db.ops.pallas_scan import pallas_flat_topk
         if metric == "cosine":
             queries = D.l2_normalize(queries)
         keys, idx = pallas_flat_topk(
-            queries, db, count, k, metric=metric, db_sqnorms=db_sqnorms)
+            queries, db, count, k, metric=metric, db_sqnorms=db_sqnorms,
+            filter_mask=filter_mask)
     else:
         keys, idx = flat_scan_topk(
             queries, db, count, k, metric=metric,
@@ -336,7 +337,7 @@ class TPUVectorStore:
         return b
 
     def _use_pallas(self, k: int, filtered: bool) -> bool:
-        if filtered or k > 32 or not getattr(self.config, "use_pallas", True):
+        if k > 32 or not getattr(self.config, "use_pallas", True):
             return False
         if jax.default_backend() != "tpu":
             return False
