@@ -71,7 +71,8 @@ def _scan_kernel(count_ref, q_ref, db_ref, sq_ref, mask_ref, vals_ref,
     gids = base + local
     live = gids < count
     if filtered:  # metadata filter mask, streamed per block like sqnorms
-        live = jnp.logical_and(live, mask_ref[:][None, :] != 0)
+        # f32 mask: Mosaic can't change bitwidth on 1-D int8 VMEM refs
+        live = jnp.logical_and(live, mask_ref[:][None, :] > 0.5)
     scores = jnp.where(live, scores, NEG_INF)
 
     # LAZY MERGE: the k-pass extraction costs k passes over (Q, B) on the
@@ -133,8 +134,8 @@ def pallas_flat_topk(queries, db, count, k: int, metric: str = "cosine",
         # dummy streamed input keeps the kernel signature uniform
         db_sqnorms = jnp.zeros((n_pad,), jnp.float32)
     filtered = filter_mask is not None
-    mask = (filter_mask.astype(jnp.int8) if filtered
-            else jnp.zeros((n_pad,), jnp.int8))
+    mask = (filter_mask.astype(jnp.float32) if filtered
+            else jnp.zeros((n_pad,), jnp.float32))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

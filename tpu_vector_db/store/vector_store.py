@@ -67,7 +67,7 @@ def _query_packed(queries, db, count, k, metric, db_normalized,
 
     engine="pallas" uses the fused single-sweep kernel (ops/pallas_scan.py,
     ~1.5x the XLA scan's QPS at 1M x 768D bf16); metadata filters stream
-    into the kernel as a per-block int8 mask."""
+    into the kernel as a per-block f32 mask."""
     if engine == "pallas":
         from tpu_vector_db.ops.pallas_scan import pallas_flat_topk
         if metric == "cosine":
