@@ -492,12 +492,15 @@ class BeamGraphIndex:
             raise RuntimeError("index not built")
         ef = max(ef_search, k)
         # 2*ef expansions: past that, recall saturates at fixed pool size
-        # (measured 0.899 -> 0.914 @ ef=100 on 20K x 64D; flat beyond)
-        iters = max(ef // 2, 8)
+        # (measured 0.899 -> 0.914 @ ef=100 on 20K x 64D; flat beyond).
+        # beam_width=8 halves the sequential iteration count at equal
+        # recall (300K x 768D: 19.4 -> 15.1 ms/batch, same 0.897/0.992)
+        bw = 8
+        iters = max(ef // bw * 2, 8)
         ids, keys = beam_search(
             jnp.asarray(queries, jnp.float32), db, self._graph_dev,
             jnp.asarray(self._entries), np.int32(min(self._n, count)),
-            k=k, ef=ef, beam_width=4, iters=iters,
+            k=k, ef=ef, beam_width=bw, iters=iters,
             metric=self.metric, sqnorms=sqnorms)
         return np.asarray(ids), np.asarray(keys)
 
