@@ -28,8 +28,8 @@ class TestCircuitBreaker:
     def test_opens_after_threshold(self):
         cb = self.make()
         for _ in range(3):
-            with pytest.raises(ValueError):
-                cb.call(lambda: (_ for _ in ()).throw(ValueError("x")))
+            with pytest.raises(OSError):
+                cb.call(lambda: (_ for _ in ()).throw(OSError("x")))
         assert cb.state == CircuitState.OPEN
         with pytest.raises(CircuitBreakerOpenError):
             cb.call(lambda: 1)
@@ -37,8 +37,8 @@ class TestCircuitBreaker:
     def test_half_open_then_close(self):
         cb = self.make()
         for _ in range(3):
-            with pytest.raises(ValueError):
-                cb.call(lambda: (_ for _ in ()).throw(ValueError("x")))
+            with pytest.raises(OSError):
+                cb.call(lambda: (_ for _ in ()).throw(OSError("x")))
         time.sleep(0.06)
         assert cb.state == CircuitState.HALF_OPEN
         assert cb.call(lambda: 42) == 42
@@ -48,22 +48,22 @@ class TestCircuitBreaker:
     def test_half_open_failure_reopens(self):
         cb = self.make()
         for _ in range(3):
-            with pytest.raises(ValueError):
-                cb.call(lambda: (_ for _ in ()).throw(ValueError("x")))
+            with pytest.raises(OSError):
+                cb.call(lambda: (_ for _ in ()).throw(OSError("x")))
         time.sleep(0.06)
-        with pytest.raises(ValueError):
-            cb.call(lambda: (_ for _ in ()).throw(ValueError("y")))
+        with pytest.raises(OSError):
+            cb.call(lambda: (_ for _ in ()).throw(OSError("y")))
         assert cb.state == CircuitState.OPEN
 
     def test_success_resets_failure_count(self):
         cb = self.make()
         for _ in range(2):
-            with pytest.raises(ValueError):
-                cb.call(lambda: (_ for _ in ()).throw(ValueError("x")))
+            with pytest.raises(OSError):
+                cb.call(lambda: (_ for _ in ()).throw(OSError("x")))
         cb.call(lambda: 1)  # resets
         for _ in range(2):
-            with pytest.raises(ValueError):
-                cb.call(lambda: (_ for _ in ()).throw(ValueError("x")))
+            with pytest.raises(OSError):
+                cb.call(lambda: (_ for _ in ()).throw(OSError("x")))
         assert cb.state == CircuitState.CLOSED
 
 

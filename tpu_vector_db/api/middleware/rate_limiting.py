@@ -76,17 +76,47 @@ class RateLimitDecision:
 
 
 class InMemoryRateLimiter:
-    """Sliding-window counters + concurrent slot tracking under one lock."""
+    """Sliding-window counters + concurrent slot tracking under one lock.
 
-    def __init__(self) -> None:
+    Keys are bounded: idle entries (empty windows, no concurrent slots) are
+    evicted on a periodic sweep and the total tracked-key count is capped —
+    an unauthenticated client rotating Authorization headers can't grow
+    server memory without bound."""
+
+    def __init__(self, max_keys: int = 100_000,
+                 sweep_interval_s: float = 60.0) -> None:
         self._lock = threading.Lock()
         self._minute: dict[str, deque[float]] = {}
         self._hour: dict[str, deque[float]] = {}
         self._concurrent: dict[str, int] = {}
+        self._max_keys = max_keys
+        self._sweep_interval = sweep_interval_s
+        self._last_sweep = time.time()
+
+    def _sweep(self, now: float) -> None:
+        """Drop idle keys (call with the lock held)."""
+        self._last_sweep = now
+        for key in list(self._hour):
+            hour = self._hour[key]
+            while hour and hour[0] <= now - 3600:
+                hour.popleft()
+            if not hour and not self._concurrent.get(key):
+                self._hour.pop(key, None)
+                self._minute.pop(key, None)
+                self._concurrent.pop(key, None)
 
     def check(self, key: str, cfg: RateLimitConfig) -> RateLimitDecision:
         now = time.time()
         with self._lock:
+            if (now - self._last_sweep >= self._sweep_interval or
+                    len(self._hour) > self._max_keys):
+                self._sweep(now)
+            if key not in self._hour and len(self._hour) >= self._max_keys:
+                # table full even after a sweep: shed the new key rather
+                # than grow without bound
+                return RateLimitDecision(
+                    False, cfg.requests_per_minute, 0, 1.0,
+                    retry_after_s=1.0, reason="limiter at capacity")
             minute = self._minute.setdefault(key, deque())
             hour = self._hour.setdefault(key, deque())
             while minute and minute[0] <= now - 60:
@@ -128,25 +158,86 @@ class InMemoryRateLimiter:
                 self._concurrent[key] = max(self._concurrent[key] - 1, 0)
 
 
-class RedisRateLimiter:
-    """Redis-backed variant (atomic INCR+EXPIRE pipeline). Gated: raises at
-    construction when the redis client isn't importable; ProductionRateLimiter
-    then falls back to in-memory — same degradation path as the reference."""
+# Atomic check-and-charge: rejects consume NO quota (the round-1 pipeline
+# charged rejected requests against the minute/hour windows, so a limited
+# client hammering the API extended its own lockout forever). Same shape as
+# the reference's Lua approach (api/middleware/rate_limiting.py:160-260).
+_REDIS_CHECK_LUA = """
+local m = tonumber(redis.call('GET', KEYS[1]) or '0')
+local h = tonumber(redis.call('GET', KEYS[2]) or '0')
+local c = tonumber(redis.call('GET', KEYS[3]) or '0')
+local minute_limit = tonumber(ARGV[1])
+local hour_limit = tonumber(ARGV[2])
+local conc_limit = tonumber(ARGV[3])
+if m >= minute_limit then return {0, 1, minute_limit - m} end
+if h >= hour_limit then return {0, 2, hour_limit - h} end
+if c >= conc_limit then return {0, 3, conc_limit - c} end
+m = redis.call('INCR', KEYS[1])
+redis.call('EXPIRE', KEYS[1], 120)
+redis.call('INCR', KEYS[2])
+redis.call('EXPIRE', KEYS[2], 7200)
+redis.call('INCR', KEYS[3])
+redis.call('EXPIRE', KEYS[3], 30)
+return {1, 0, minute_limit - m}
+"""
 
-    def __init__(self, url: str) -> None:
-        try:
-            import redis  # noqa: F401
-        except ImportError as exc:
-            raise RuntimeError("redis client not available") from exc
-        import redis as _redis
-        self._client = _redis.Redis.from_url(url, socket_timeout=0.5)
-        self._client.ping()
+
+class RedisRateLimiter:
+    """Redis-backed variant. Primary path is an atomic Lua script (one
+    round-trip, check-then-charge, rejects never consume quota); if the
+    server rejects scripting (some proxies do), a GET+rollback pipeline
+    fallback preserves the no-charge-on-reject semantics with a small
+    over-reject-only race. Gated: raises at construction when the redis
+    client isn't importable; ProductionRateLimiter then falls back to
+    in-memory — same degradation path as the reference (:278-288)."""
+
+    def __init__(self, url: str, client=None) -> None:
+        if client is not None:
+            self._client = client
+        else:
+            try:
+                import redis as _redis
+            except ImportError as exc:
+                raise RuntimeError("redis client not available") from exc
+            self._client = _redis.Redis.from_url(url, socket_timeout=0.5)
+            self._client.ping()
+        self._scripting = True
+
+    def _keys(self, key: str) -> tuple[str, str, str]:
+        now = int(time.time())
+        return (f"rl:{key}:m:{now // 60}", f"rl:{key}:h:{now // 3600}",
+                f"rl:{key}:c")
+
+    @staticmethod
+    def _reject(cfg: RateLimitConfig, reason: str) -> RateLimitDecision:
+        retry = {"per-minute limit": 60.0, "per-hour limit": 3600.0,
+                 "concurrency limit": 1.0}.get(reason, 60.0)
+        return RateLimitDecision(False, cfg.requests_per_minute, 0, retry,
+                                 retry_after_s=retry, reason=reason)
 
     def check(self, key: str, cfg: RateLimitConfig) -> RateLimitDecision:
-        now = int(time.time())
-        minute_key = f"rl:{key}:m:{now // 60}"
-        hour_key = f"rl:{key}:h:{now // 3600}"
-        conc_key = f"rl:{key}:c"
+        minute_key, hour_key, conc_key = self._keys(key)
+        minute_limit = cfg.requests_per_minute + cfg.burst_allowance
+        if self._scripting:
+            try:
+                allowed, which, headroom = self._client.eval(
+                    _REDIS_CHECK_LUA, 3, minute_key, hour_key, conc_key,
+                    minute_limit, cfg.requests_per_hour,
+                    cfg.concurrent_requests)
+                if int(allowed):
+                    return RateLimitDecision(
+                        True, minute_limit, max(int(headroom), 0), 60.0)
+                reason = {1: "per-minute limit", 2: "per-hour limit",
+                          3: "concurrency limit"}[int(which)]
+                return self._reject(cfg, reason)
+            except Exception as exc:  # noqa: BLE001 — scripting unsupported
+                if "NOSCRIPT" in str(exc) or "unknown command" in str(exc).lower():
+                    self._scripting = False
+                else:
+                    raise
+        # fallback: optimistic check, charge, verify, roll back on reject.
+        # Concurrent racers can transiently over-count and over-REJECT
+        # (fail-safe); admission above the limit is impossible.
         pipe = self._client.pipeline()
         pipe.incr(minute_key)
         pipe.expire(minute_key, 120)
@@ -155,18 +246,23 @@ class RedisRateLimiter:
         pipe.incr(conc_key)
         pipe.expire(conc_key, 30)
         m, _, h, _, c, _ = pipe.execute()
-        minute_limit = cfg.requests_per_minute + cfg.burst_allowance
         if m > minute_limit or h > cfg.requests_per_hour or \
                 c > cfg.concurrent_requests:
-            self._client.decr(conc_key)
-            return RateLimitDecision(False, cfg.requests_per_minute, 0, 60.0,
-                                     retry_after_s=60.0, reason="limit")
-        return RateLimitDecision(True, cfg.requests_per_minute,
-                                 max(minute_limit - m, 0), 60.0)
+            rollback = self._client.pipeline()
+            rollback.decr(minute_key)
+            rollback.decr(hour_key)
+            rollback.decr(conc_key)
+            rollback.execute()
+            reason = ("per-minute limit" if m > minute_limit else
+                      "per-hour limit" if h > cfg.requests_per_hour else
+                      "concurrency limit")
+            return self._reject(cfg, reason)
+        return RateLimitDecision(True, minute_limit,
+                                 max(minute_limit - int(m), 0), 60.0)
 
     def release(self, key: str) -> None:
         try:
-            self._client.decr(f"rl:{key}:c")
+            self._client.decr(self._keys(key)[2])
         except Exception:  # noqa: BLE001
             pass
 
@@ -223,14 +319,53 @@ def classify_operation(path: str) -> OperationType:
     return OperationType.HEALTH
 
 
+def _load_tier_map() -> dict[str, UserTier]:
+    """Extra key->tier assignments from VECTOR_DB_TIER_KEYS
+    ("<key>:<tier>,<key>:<tier>"). Unknown tier names are skipped loudly."""
+    import os
+    out: dict[str, UserTier] = {}
+    raw = os.environ.get("VECTOR_DB_TIER_KEYS", "")
+    for entry in filter(None, (e.strip() for e in raw.split(","))):
+        key, _, tier_name = entry.rpartition(":")
+        try:
+            out[key] = UserTier(tier_name.strip().lower())
+        except ValueError:
+            logger.warning("VECTOR_DB_TIER_KEYS: unknown tier %r", tier_name)
+    return out
+
+
+_tier_map: dict[str, UserTier] | None = None
+
+
 def classify_tier(authorization: str | None) -> UserTier:
-    """Auth header -> tier. Like the reference (:308-320) this is a simple
-    substring policy; real deployments plug a key->tier lookup here."""
-    if not authorization:
+    """Auth header -> tier via VALIDATED key lookup (constant-time compares).
+
+    The reference (:308-320) and round 1 classified by header substring,
+    which let clients self-select PREMIUM/ENTERPRISE limits before auth ran.
+    Here only credentials that actually verify earn a paid tier: the admin
+    key is ENTERPRISE, the service key is PREMIUM (override with
+    VECTOR_DB_API_TIER), additional keys map through VECTOR_DB_TIER_KEYS,
+    and everything else — including unauthenticated traffic — is FREE."""
+    import os
+    import secrets as _secrets
+
+    from tpu_vector_db.security.auth import _extract_bearer, auth_config
+
+    token = _extract_bearer(authorization)
+    if not token:
         return UserTier.FREE
-    lowered = authorization.lower()
-    if "enterprise" in lowered:
+    if _secrets.compare_digest(token, auth_config.admin_key):
         return UserTier.ENTERPRISE
-    if "premium" in lowered:
-        return UserTier.PREMIUM
-    return UserTier.ENTERPRISE if "admin" in lowered else UserTier.PREMIUM
+    if _secrets.compare_digest(token, auth_config.api_key):
+        try:
+            return UserTier(os.environ.get("VECTOR_DB_API_TIER",
+                                           "premium").lower())
+        except ValueError:
+            return UserTier.PREMIUM
+    global _tier_map
+    if _tier_map is None:
+        _tier_map = _load_tier_map()
+    for key, tier in _tier_map.items():
+        if _secrets.compare_digest(token, key):
+            return tier
+    return UserTier.FREE

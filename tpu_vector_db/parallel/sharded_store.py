@@ -26,6 +26,38 @@ from tpu_vector_db.utils.validation import validate_vector_shape
 logger = logging.getLogger(__name__)
 
 
+class _CompiledFnCache:
+    """Bounded LRU of compiled query fns keyed (..., capacity).
+
+    Capacity doublings and varied k would otherwise accumulate compiled
+    XLA programs forever (round-1 finding); entries for stale capacities
+    are dropped eagerly on every capacity change."""
+
+    def __init__(self, max_entries: int = 16) -> None:
+        from collections import OrderedDict
+        self._d: "OrderedDict[tuple, object]" = OrderedDict()
+        self._max = max_entries
+
+    def get(self, key: tuple):
+        fn = self._d.get(key)
+        if fn is not None:
+            self._d.move_to_end(key)
+        return fn
+
+    def put(self, key: tuple, fn) -> None:
+        self._d[key] = fn
+        self._d.move_to_end(key)
+        while len(self._d) > self._max:
+            self._d.popitem(last=False)
+
+    def drop_stale_capacity(self, cap: int) -> None:
+        for key in [k for k in self._d if k[-1] != cap]:
+            del self._d[key]
+
+    def __len__(self) -> int:
+        return len(self._d)
+
+
 class ShardedVectorStore(TPUVectorStore):
     def __init__(self, store_path, config: VectorStoreConfig | None = None,
                  mesh=None) -> None:
@@ -33,7 +65,8 @@ class ShardedVectorStore(TPUVectorStore):
         self._n_dev = self.mesh.devices.size
         self._row_sharding = row_sharding(self.mesh)
         self._replicated = replicated(self.mesh)
-        self._query_fns: dict = {}
+        self._query_fns = _CompiledFnCache()
+        self._ann_fns = _CompiledFnCache()
         super().__init__(store_path, config)
 
     # capacity must split evenly into per-shard block_rows multiples
@@ -51,6 +84,9 @@ class ShardedVectorStore(TPUVectorStore):
         the cold path; queries never move row data.
         """
         self._cap = capacity
+        # compiled programs for other capacities can never be used again
+        self._query_fns.drop_stale_capacity(capacity)
+        self._ann_fns.drop_stale_capacity(capacity)
         host = np.zeros((capacity, self._d_pad), np.float32)
         if self._count:
             prepared = self._prepare_block(self._host_buf[: self._count])
@@ -118,7 +154,7 @@ class ShardedVectorStore(TPUVectorStore):
             alpha=p.get("alpha", 1.2))
         self._ann.build(self._host_buf, self._count, self._cap)
         self._ann_stale = False
-        self._ann_fns: dict = {}
+        self._ann_fns = _CompiledFnCache()
 
     def _ann_batch_query(self, arr: np.ndarray, k: int,
                          filter_metadata: dict | None):
@@ -126,20 +162,19 @@ class ShardedVectorStore(TPUVectorStore):
         ef = self.config.ann_params.get("ef_search", 100)
         fetch_k = min(self._count, k * 10) if filter_metadata else k
         key = (fetch_k, max(ef, fetch_k), self._cap)
-        fns = getattr(self, "_ann_fns", None)
-        if fns is None:
-            self._ann_fns = fns = {}
-        if key not in fns:
-            fns[key] = self._ann.make_search_fn(
+        fn = self._ann_fns.get(key)
+        if fn is None:
+            fn = self._ann.make_search_fn(
                 fetch_k, max(ef, fetch_k),
                 with_sqnorms=(self._sqnorms is not None))
+            self._ann_fns.put(key, fn)
         q = jax.device_put(self._prepare_queries(arr), self._replicated)
         count = jax.device_put(jnp.int32(self._count), self._replicated)
         args = [q, self._db, count, self._ann._graph_dev,
                 self._ann._entries_dev]
         if self._sqnorms is not None:
             args.append(self._sqnorms)
-        keys, labels = fns[key](*args)
+        keys, labels = fn(*args)
         keys, labels = np.asarray(keys), np.asarray(labels)
         out = []
         for row_keys, row_labels in zip(keys, labels):
@@ -171,15 +206,16 @@ class ShardedVectorStore(TPUVectorStore):
 
     def _get_query_fn(self, k: int, with_filter: bool):
         key = (k, with_filter, self._cap)
-        if key not in self._query_fns:
+        fn = self._query_fns.get(key)
+        if fn is None:
             fn, _ = make_sharded_query_fn(
                 self.mesh, k, metric=self.metric,
                 db_normalized=(self.metric == "cosine"),
                 with_sqnorms=(self._sqnorms is not None),
                 with_filter=with_filter,
                 block_rows=self._block)
-            self._query_fns[key] = fn
-        return self._query_fns[key]
+            self._query_fns.put(key, fn)
+        return fn
 
     def _flat_topk(self, queries: np.ndarray, k: int, filter_mask):
         q = jax.device_put(

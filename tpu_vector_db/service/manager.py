@@ -48,14 +48,35 @@ class VectorStoreManager:
 
     # ------------------------------------------------------------ lifecycle
 
-    def _store_path(self, user_id: str, model_id: str) -> Path:
-        def safe(s: str) -> str:
-            cleaned = "".join(
-                c if c.isalnum() or c in "-_" else "_" for c in s)
-            return cleaned or "_"  # "..", "." and "" all collapse to "_"
-        return self.base_path / safe(user_id) / safe(model_id)
+    @staticmethod
+    def _encode_tenant(s: str) -> str:
+        """Collision-free, reversible dir-name encoding of a tenant id.
 
-    def _make_store(self, path: Path, config: VectorStoreConfig):
+        Percent-encodes everything outside [A-Za-z0-9_-] (including '.',
+        so '.', '..' and path separators can't escape the base dir).
+        Lossy sanitization mapped distinct ids ('a.b', 'a_b') onto one
+        directory, letting two store instances clobber each other's files.
+        """
+        if not s:
+            raise ValueError("tenant id must be non-empty")
+        out = []
+        for ch in s:
+            if ch.isascii() and (ch.isalnum() or ch in "-_"):
+                out.append(ch)
+            else:
+                out.extend(f"%{b:02X}" for b in ch.encode("utf-8"))
+        return "".join(out)
+
+    @staticmethod
+    def _decode_tenant(name: str) -> str:
+        from urllib.parse import unquote
+        return unquote(name)
+
+    def _store_path(self, user_id: str, model_id: str) -> Path:
+        return (self.base_path / self._encode_tenant(user_id)
+                / self._encode_tenant(model_id))
+
+    def _make_store(self, path: Path, config: VectorStoreConfig | None):
         if self._sharded:
             from tpu_vector_db.parallel.sharded_store import ShardedVectorStore
             return ShardedVectorStore(path, config)
@@ -78,7 +99,10 @@ class VectorStoreManager:
             path = self._store_path(user_id, model_id)
             if not create and not (path / "manifest.json").exists():
                 raise KeyError(f"store {user_id}/{model_id} does not exist")
-            store = self._make_store(path, config or VectorStoreConfig())
+            # config=None lets the store restore its persisted config from
+            # manifest.json — a reopened store keeps its created-with
+            # dimension/metric/dtype/ANN settings (round-1 data-loss fix)
+            store = self._make_store(path, config)
             self._stores[key] = store
             return store
 
@@ -90,7 +114,9 @@ class VectorStoreManager:
                     (self._store_path(*key) / "manifest.json").exists():
                 raise FileExistsError(f"store {user_id}/{model_id} exists")
             store = self._make_store(self._store_path(*key), config)
-            store.flush()  # write the manifest so existence is durable
+            if store.config.persist_mode != "off":
+                store._save()  # manifest now, even while empty/clean —
+                # flush() alone skips a never-dirtied store
             self._stores[key] = store
             return store
 
@@ -126,13 +152,15 @@ class VectorStoreManager:
         for user_dir in sorted(self.base_path.iterdir()):
             if not user_dir.is_dir():
                 continue
-            if user_id is not None and user_dir.name != user_id:
+            user_name = self._decode_tenant(user_dir.name)
+            if user_id is not None and user_name != user_id:
                 continue
             for model_dir in sorted(user_dir.iterdir()):
                 if (model_dir / "manifest.json").exists():
-                    entry = {"user_id": user_dir.name,
-                             "model_id": model_dir.name}
-                    key = (user_dir.name, model_dir.name)
+                    model_name = self._decode_tenant(model_dir.name)
+                    entry = {"user_id": user_name,
+                             "model_id": model_name}
+                    key = (user_name, model_name)
                     with self._lock:
                         store = self._stores.get(key)
                     if store is not None:

@@ -40,6 +40,11 @@ class CircuitBreakerConfig:
     failure_threshold: int = 5
     recovery_timeout_s: float = 30.0
     success_threshold: int = 3
+    # Client-input errors must NOT trip the breaker: 5 malformed requests
+    # (dim mismatch -> ValueError) would otherwise open the shared breaker
+    # and 503 every tenant for 30s — a one-key availability DoS. These
+    # re-raise without touching the failure count.
+    excluded: tuple = (ValueError, TypeError, KeyError)
 
 
 class CircuitBreaker:
@@ -76,7 +81,13 @@ class CircuitBreaker:
                     f"(retry in {self.config.recovery_timeout_s - (time.time() - self._opened_at):.0f}s)")
         try:
             result = fn(*args, **kwargs)
-        except Exception:
+        except Exception as exc:
+            from tpu_vector_db.service.errors import ValidationError
+            if isinstance(exc, self.config.excluded) or \
+                    isinstance(exc, ValidationError):
+                # client error: neither a failure (won't open the circuit)
+                # nor a success (won't close a HALF_OPEN one)
+                raise
             self._record_failure()
             raise
         self._record_success()

@@ -27,6 +27,33 @@ METADATA_FILE = "metadata.jsonl"
 MANIFEST_FILE = "manifest.json"
 
 
+class StoreDimensionMismatch(ValueError):
+    """Persisted vectors disagree with the requested config dimension.
+
+    Raised (never swallowed) so an operator mistake can't silently open an
+    empty store over real data and overwrite it on the next add — the
+    data-loss path the reference's tolerant loader allowed
+    (optimized_vector_store.py:237-239)."""
+
+
+def load_manifest_config(path: str | Path) -> VectorStoreConfig | None:
+    """Read the persisted config back from manifest.json, or None.
+
+    The manifest is the source of truth for a reopened store: a restart
+    must come back with the same dimension/metric/dtype/ANN settings it was
+    created with, not process defaults."""
+    mf = Path(path) / MANIFEST_FILE
+    if not mf.exists():
+        return None
+    try:
+        manifest = json.loads(mf.read_text())
+        cfg = manifest.get("config")
+        return VectorStoreConfig.from_dict(cfg) if cfg else None
+    except Exception:  # noqa: BLE001 — corrupt manifest: caller decides
+        logger.exception("unreadable manifest at %s", mf)
+        return None
+
+
 def save_store(path: str | Path, vectors: np.ndarray, metadata: list[dict],
                config: VectorStoreConfig) -> None:
     """Atomically persist the full store state. ``vectors`` is (count, d) f32."""
@@ -57,9 +84,14 @@ def load_store(path: str | Path, config: VectorStoreConfig):
         with np.load(vf) as z:
             vectors = np.asarray(z["vectors"], dtype=np.float32)
         if vectors.ndim != 2 or vectors.shape[1] != config.dimension:
-            raise ValueError(
-                f"persisted dimension {vectors.shape} != config "
-                f"{config.dimension}")
+            # NOT corruption: the data is fine, the caller's config is wrong.
+            # Refuse to open instead of falling through to an empty store
+            # that the next sync add would persist over the real data.
+            raise StoreDimensionMismatch(
+                f"store at {p} holds {vectors.shape[1] if vectors.ndim == 2 else '?'}-D "
+                f"vectors but config requests {config.dimension}-D; refusing "
+                "to open (pass the matching config or omit it to load from "
+                "the manifest)")
         metadata: list[dict] = []
         if mf.exists():
             with open(mf, "r", encoding="utf-8") as f:
@@ -72,6 +104,8 @@ def load_store(path: str | Path, config: VectorStoreConfig):
         elif len(metadata) > vectors.shape[0]:
             metadata = metadata[: vectors.shape[0]]
         return vectors, metadata
+    except StoreDimensionMismatch:
+        raise
     except Exception:  # noqa: BLE001 — any corruption -> empty store
         logger.exception("corrupt store at %s; starting empty", p)
         return None, None

@@ -180,7 +180,22 @@ class TPUVectorStore:
 
     def __init__(self, store_path: str | Path,
                  config: VectorStoreConfig | None = None) -> None:
-        self.config = config or VectorStoreConfig()
+        # Config resolution: the persisted manifest is authoritative for an
+        # existing store. Reopening with no explicit config restores the
+        # created-with settings (dimension/metric/dtype/ANN) instead of
+        # process defaults — without this, a restart of a non-default-dim
+        # tenant opened an empty store and the next add overwrote its data.
+        manifest_cfg = persistence.load_manifest_config(store_path)
+        if config is None:
+            self.config = manifest_cfg or VectorStoreConfig()
+        else:
+            if (manifest_cfg is not None
+                    and manifest_cfg.dimension != config.dimension):
+                raise persistence.StoreDimensionMismatch(
+                    f"store at {store_path} was created with dimension "
+                    f"{manifest_cfg.dimension}, got config with "
+                    f"{config.dimension}")
+            self.config = config
         self.store_path = Path(store_path)
         ensure_directory(self.store_path)
         self._lock = threading.RLock()
@@ -207,6 +222,11 @@ class TPUVectorStore:
         # ANN index (built lazily; see index/beam_graph.py)
         self._ann = None
         self._ann_stale = True
+        # post-build sampled-recall guard (graph ANN silently degrades on
+        # e.g. uniform high-dim data — distance concentration)
+        self._ann_recall_estimate: float | None = None
+        self._ann_low_recall = False
+        self._ann_checked_at = 0
 
         self._load()
 
@@ -426,7 +446,8 @@ class TPUVectorStore:
             # (always use the index when enabled)
             min_rows = self.config.ann_params.get("ann_min_rows", 0)
             if (use_ann and self.config.enable_ann and
-                    self._ann is not None and self._count >= min_rows):
+                    self._ann is not None and self._count >= min_rows and
+                    not self._ann_low_recall):
                 try:
                     return self._ann_batch_query(arr, k_eff, filter_metadata)
                 except Exception:  # noqa: BLE001 — parity: fall back to exact
@@ -486,6 +507,60 @@ class TPUVectorStore:
         if self.config.persist_mode != "off":
             self._ann.save(self.store_path)
         self._ann_stale = False
+        # re-estimate recall after every full build, and after incremental
+        # adds once the store has doubled since the last estimate
+        if self._ann_checked_at == 0 or \
+                self._count >= 2 * self._ann_checked_at:
+            self._ann_self_check()
+
+    def _ann_self_check(self, sample: int = 100, k: int = 10) -> None:
+        """Sampled recall@k of the ANN index vs the exact scan.
+
+        Guard the reference never had: with ann enabled on adversarial data
+        (uniform high-dim — distance concentration) a graph index can
+        silently serve ~0.35 recall. Sample stored vectors, self-query both
+        paths, and (a) warn below ``recall_warn`` (default 0.90), (b) route
+        queries back to the exact scan below ``recall_floor`` (default 0.50).
+        Costs one flat batch query (~ms)."""
+        p = self.config.ann_params
+        if not p.get("self_check", True) or self._count < 2 \
+                or self._ann is None:
+            return
+        n = min(sample, self._count)
+        k_eff = min(k, self._count)
+        rng = np.random.default_rng(0)
+        rows = np.sort(rng.choice(self._count, size=n, replace=False))
+        queries = self._host_buf[rows].astype(np.float32)
+        _, flat_idx = self._flat_topk(queries, k_eff, None)
+        ef = max(p.get("ef_search", 100), k_eff)
+        labels, _ = self._ann.search(
+            self._prepare_queries(queries), self._db, self._count,
+            k=k_eff, ef_search=ef, sqnorms=self._sqnorms)
+        labels = np.asarray(labels)
+        hits = sum(
+            len({int(x) for x in flat_idx[i]} &
+                {int(x) for x in labels[i] if int(x) >= 0})
+            for i in range(n))
+        est = hits / float(n * k_eff)
+        self._ann_recall_estimate = est
+        self._ann_checked_at = self._count
+        floor = p.get("recall_floor", 0.50)
+        warn = p.get("recall_warn", 0.90)
+        was_low = self._ann_low_recall
+        self._ann_low_recall = est < floor
+        if self._ann_low_recall:
+            logger.warning(
+                "ANN sampled recall@%d = %.3f < floor %.2f at %d rows; "
+                "routing queries to the exact scan (data likely lacks "
+                "neighborhood structure)", k_eff, est, floor, self._count)
+        elif est < warn:
+            logger.warning(
+                "ANN sampled recall@%d = %.3f below %.2f at %d rows; "
+                "consider raising ef_search/M or using the exact scan",
+                k_eff, est, warn, self._count)
+        elif was_low:
+            logger.info("ANN sampled recall recovered to %.3f; "
+                        "index re-enabled", est)
 
     def _prepare_queries(self, arr: np.ndarray) -> jnp.ndarray:
         q = jnp.asarray(arr, jnp.float32)
@@ -511,7 +586,14 @@ class TPUVectorStore:
                 meta = self._metadata[i]
                 if filter_metadata and not metadata_matches(meta, filter_metadata):
                     continue
-                raw = float(np.sqrt(max(-key, 0.0))) if self.metric == "euclidean" else float(key)
+                if self.metric == "euclidean":
+                    raw = float(np.sqrt(max(-key, 0.0)))
+                elif self.metric == "cosine":
+                    # same [-1, 1] contract as the flat path; bf16 rounding
+                    # can push a unit self-similarity slightly past 1
+                    raw = float(np.clip(key, -1.0, 1.0))
+                else:
+                    raw = float(key)
                 indices.append(i)
                 scores.append(raw)
                 metas.append(meta)
@@ -559,10 +641,11 @@ class TPUVectorStore:
         self.flush()
 
     def _save(self) -> None:
+        live = (self._host_buf[: self._count] if self._host_buf is not None
+                else np.zeros((0, self.config.dimension), np.float32))
         with self._file_lock:
             persistence.save_store(
-                self.store_path, self._host_buf[: self._count],
-                self._metadata, self.config)
+                self.store_path, live, self._metadata, self.config)
         self._dirty = False
 
     def _load(self) -> None:
@@ -602,6 +685,7 @@ class TPUVectorStore:
                                                self._ann is not None) else "flat",
                 "storage_dtype": self.config.storage_dtype,
                 "device_capacity": self._cap,
+                "ann_recall_estimate": self._ann_recall_estimate,
                 # the field the reference omitted though its monitors summed
                 # it (SURVEY.md §2.1)
                 "memory_usage_mb": round(device_mb + host_mb, 3),
