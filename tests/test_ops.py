@@ -180,7 +180,76 @@ class TestPallasScan:
         from tpu_vector_db.ops.pallas_scan import pallas_flat_topk
         with pytest.raises(ValueError):
             pallas_flat_topk(jnp.zeros((1, 128)), jnp.zeros((512, 128)),
-                             np.int32(10), 100, interpret=True)
+                             np.int32(10), 2000, interpret=True)
+
+    @pytest.mark.parametrize("metric", ["cosine", "euclidean"])
+    @pytest.mark.parametrize("k", [33, 100, 250, 600])
+    def test_pallas_bigk_matches_scan(self, rng, metric, k):
+        """32 < k: the bitonic-merge kernel must stay exact."""
+        from tpu_vector_db.ops.pallas_scan import pallas_flat_topk
+        n, d, qn = 4096, 64, 3
+        count = 3900
+        db = rng.standard_normal((n, d)).astype(np.float32)
+        q = rng.standard_normal((qn, d)).astype(np.float32)
+        dbj, qj = jnp.asarray(db), jnp.asarray(q)
+        if metric == "cosine":
+            dbj, qj = D.l2_normalize(dbj), D.l2_normalize(qj)
+        sq = (jnp.sum(dbj.astype(jnp.float32) ** 2, -1)
+              if metric == "euclidean" else None)
+        vals, idx = pallas_flat_topk(
+            qj, dbj, np.int32(count), k, metric=metric, db_sqnorms=sq,
+            block_rows=512, interpret=True)
+        rvals, ridx = flat_scan_topk(
+            qj, dbj, jnp.int32(count), k, metric=metric, db_normalized=True,
+            db_sqnorms=sq, block_rows=512)
+        np.testing.assert_allclose(np.asarray(vals), np.asarray(rvals),
+                                   atol=1e-3)
+        assert (np.asarray(idx) == np.asarray(ridx)).mean() > 0.95
+
+    def test_pallas_bigk_adversarial_order(self, rng):
+        """All true winners packed into ONE block / ONE segment: forces the
+        multi-round extraction loop instead of the common 1-round case."""
+        from tpu_vector_db.ops.pallas_scan import pallas_flat_topk
+        n, d, k = 2048, 128, 64
+        db = rng.standard_normal((n, d)).astype(np.float32) * 0.01
+        # rows 256..383 (inside block 0, consecutive segments) are the
+        # strongest matches, in descending strength
+        q = rng.standard_normal((1, d)).astype(np.float32)
+        for j in range(128):
+            db[256 + j] = q[0] * (100.0 - j)
+        dbj = jnp.asarray(db)
+        qj = jnp.asarray(q)
+        sq = jnp.sum(dbj.astype(jnp.float32) ** 2, -1)
+        vals, idx = pallas_flat_topk(
+            qj, dbj, np.int32(n), k, metric="euclidean", db_sqnorms=sq,
+            block_rows=512, interpret=True)
+        rvals, ridx = flat_scan_topk(
+            qj, dbj, jnp.int32(n), k, metric="euclidean",
+            db_sqnorms=sq, block_rows=512)
+        np.testing.assert_allclose(np.asarray(vals), np.asarray(rvals),
+                                   rtol=1e-5)
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(ridx))
+
+    def test_pallas_bigk_count_and_filter(self, rng):
+        from tpu_vector_db.ops.pallas_scan import pallas_flat_topk
+        n, d, k = 2048, 64, 40
+        db = rng.standard_normal((n, d)).astype(np.float32)
+        dbj = D.l2_normalize(jnp.asarray(db))
+        mask = np.zeros(n, np.bool_)
+        mask[500:560] = True
+        vals, idx = pallas_flat_topk(
+            dbj[:2], dbj, np.int32(n), k, metric="cosine",
+            filter_mask=jnp.asarray(mask), block_rows=512, interpret=True)
+        idx, vals = np.asarray(idx), np.asarray(vals)
+        live = np.isfinite(vals)
+        assert np.all((idx[live] >= 500) & (idx[live] < 560))
+        # count masking: only 30 live rows -> 30 finite results
+        vals, idx = pallas_flat_topk(
+            dbj[:1], dbj, np.int32(30), k, metric="cosine",
+            block_rows=512, interpret=True)
+        vals, idx = np.asarray(vals), np.asarray(idx)
+        assert np.isfinite(vals[0]).sum() == 30
+        assert np.all(idx[0][np.isfinite(vals[0])] < 30)
 
     def test_pallas_filter_mask(self, rng):
         from tpu_vector_db.ops.pallas_scan import pallas_flat_topk

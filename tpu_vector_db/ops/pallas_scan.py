@@ -9,8 +9,11 @@ written back to HBM — the XLA scan path materializes (Q, block)+top_k merge
 chains through HBM instead.
 
 k-pass extraction costs k * (Q x (B + k)) VPU ops per block, which stays
-under the matmul's shadow for k <= ~32; the store dispatches here for small
-k on TPU and to ops/scan.py otherwise.
+under the matmul's shadow for k <= 32; past that a second kernel variant
+(_scan_kernel_bigk) keeps a SORTED running buffer and merges blocks via
+segment-winner extraction + bitonic merge — O(passes) independent of k —
+covering BASELINE config #2's top-100 up to k=1024. The store dispatches
+here on TPU and to ops/scan.py otherwise.
 
 L2 trick: ||q - x||^2 ranks identically to (2 q.x - ||x||^2) for a fixed
 query, so the kernel only needs the cross term + row sqnorms; the caller
@@ -30,7 +33,15 @@ NEG_INF = float("-inf")
 
 # per-buffer VMEM budget for the streamed db block
 _BLOCK_VMEM_BYTES = 4 * 2**20
-MAX_PALLAS_K = 32
+MAX_PALLAS_K = 32          # k-pass extraction kernel (fastest for small k)
+MAX_PALLAS_K_BIG = 1024    # bitonic-merge kernel (32 < k <= 1024)
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
 
 
 def pick_block_rows(d_pad: int, itemsize: int) -> int:
@@ -108,6 +119,162 @@ def _scan_kernel(count_ref, q_ref, db_ref, sq_ref, mask_ref, vals_ref,
         idx_ref[:] = best_idx[:]
 
 
+# --------------------------------------------------------------- big-k path
+#
+# For k > 32 the k-pass max-extraction merge stops hiding under the matmul
+# (k passes over (Q, B+k) per merging block). The big-k kernel instead keeps
+# the running (Q, Kp) buffer SORTED descending and merges each block in
+# rounds:
+#   1. split the block's scores into S = B/128 segments of exactly one lane
+#      tile (128) each and extract every segment's max (+ first-occurrence
+#      id) — 2 VPU passes over (Q, B);
+#   2. bitonic-sort the S segment winners, pad to Kp, bitonic-merge into the
+#      sorted buffer — O(log^2 Kp) roll/select passes over (Q, 2 Kp), tiny;
+#   3. mask the extracted winners and repeat while any unmasked score still
+#      beats the running k-th best.
+# Exact: an element can only be hidden behind a LARGER element in its own
+# segment, and that larger one is extracted this round — the loop re-checks
+# the threshold after every round, so nothing above the final k-th best is
+# ever dropped. Rounds per block ~1 in practice (only elements that belong
+# in the current top-k force another round).
+#
+# Mosaic notes: the segment view (Q, S, 128) keeps the minor dim a full lane
+# tile (Mosaic rejects lane-splitting reshapes like (Q, 512) -> (Q, 128, 4));
+# the bitonic networks use jnp.roll with static shifts (lowers to
+# concatenate of lane slices) instead of pair-reshapes.
+
+_SEG = 128  # segment width = one lane tile
+
+
+def _compare_swap(vals, ids, j: int, desc_i):
+    """One compare-exchange stage at pair distance j along axis 1, via rolls.
+
+    desc_i: (1, W) int32 0/1 — 1 where the element's group sorts descending.
+    Element i pairs with i^j; the lower index keeps the max in a descending
+    group. Direction masks stay int32 because Mosaic cannot select between
+    i1 vectors (i8->i1 truncation is unsupported)."""
+    w = vals.shape[1]
+    # pltpu.roll: jnp.roll semantics but lowers to the native lane rotate
+    # (jnp.roll becomes a lane-slice concatenate Mosaic rejects)
+    shifted_m = pltpu.roll(vals, w - j, 1)   # value of i + j
+    shifted_p = pltpu.roll(vals, j, 1)       # value of i - j
+    sid_m = pltpu.roll(ids, w - j, 1)
+    sid_p = pltpu.roll(ids, j, 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
+    upper_i = col % (2 * j) // j             # 1: partner is at i - j
+    upper = upper_i == 1
+    pv = jnp.where(upper, shifted_p, shifted_m)
+    pi = jnp.where(upper, sid_p, sid_m)
+    # keep-the-max side: lower element of a descending pair (ties keep own)
+    want_max = (upper_i + desc_i) == 1
+    take_partner = jnp.logical_or(
+        jnp.logical_and(want_max, pv > vals),
+        jnp.logical_and(jnp.logical_not(want_max), pv < vals))
+    nv = jnp.where(take_partner, pv, vals)
+    ni = jnp.where(take_partner, pi, ids)
+    return nv, ni
+
+
+def bitonic_sort(vals, ids, descending: bool):
+    """Full bitonic sort along axis 1 (width must be a power of two)."""
+    w = vals.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
+    size = 2
+    while size <= w:
+        # classic network: the (i & size) bit flips the group direction
+        bit_i = col % (2 * size) // size
+        desc_i = bit_i if not descending else 1 - bit_i
+        j = size // 2
+        while j >= 1:
+            vals, ids = _compare_swap(vals, ids, j, desc_i)
+            j //= 2
+        size *= 2
+    return vals, ids
+
+
+def bitonic_merge_desc(vals, ids):
+    """Merge a bitonic sequence (desc half ++ asc half) into descending
+    order along axis 1 (width must be a power of two)."""
+    w = vals.shape[1]
+    ones = jnp.ones((1, w), jnp.int32)
+    j = w // 2
+    while j >= 1:
+        vals, ids = _compare_swap(vals, ids, j, ones)
+        j //= 2
+    return vals, ids
+
+
+def _scan_kernel_bigk(count_ref, q_ref, db_ref, sq_ref, mask_ref, vals_ref,
+                      idx_ref, best_vals, best_idx, sc_ref, *, k: int,
+                      kp: int, block_rows: int, metric: str, filtered: bool):
+    i = pl.program_id(0)
+    n_blocks = pl.num_programs(0)
+    q_n = q_ref.shape[0]
+    n_seg = block_rows // _SEG
+
+    @pl.when(i == 0)
+    def _init():
+        best_vals[:] = jnp.full_like(best_vals, NEG_INF)
+        best_idx[:] = jnp.zeros_like(best_idx)
+
+    q = q_ref[:]
+    block = db_ref[:]
+    cross = jnp.dot(q, block.T, preferred_element_type=jnp.float32)
+    if metric == "euclidean":
+        scores = 2.0 * cross - sq_ref[:][None, :]
+    else:
+        scores = cross
+
+    count = count_ref[0]
+    base = i * block_rows
+    gids_flat = base + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    live = gids_flat < count
+    if filtered:
+        live = jnp.logical_and(live, mask_ref[:][None, :] > 0.5)
+    masked0 = jnp.where(live, scores, NEG_INF)
+    sc_ref[:] = masked0
+    thr0 = best_vals[:, k - 1]
+    # the continue-condition is always computed from the in-register masked
+    # values: re-reading the (Q, B) scratch per round would add ~2 VPU
+    # passes per block (measured ~1ms at 1M x 128D k=100)
+    need0 = jnp.any(masked0 > thr0[:, None])
+
+    def round_body(_):
+        sv = sc_ref[:].reshape(q_n, n_seg, _SEG)
+        m = jnp.max(sv, axis=2)                               # (Q, S)
+        li = jax.lax.broadcasted_iota(jnp.int32, sv.shape, 2)
+        cand = jnp.where(sv == m[:, :, None], li, _SEG)
+        sel = jnp.min(cand, axis=2)                           # first occurrence
+        seg_base = jax.lax.broadcasted_iota(jnp.int32, (q_n, n_seg), 1) * _SEG
+        win_ids = base + seg_base + sel
+        # mask the extracted winners in place
+        masked = jnp.where(li == sel[:, :, None], NEG_INF, sv)
+        sc_ref[:] = masked.reshape(q_n, block_rows)
+        # sort winners ascending; left-pad with -inf up to kp so
+        # [buffer desc | pad asc-prefix | winners asc] stays bitonic
+        wv, wi = bitonic_sort(m, win_ids, descending=False)
+        if n_seg < kp:
+            pad = kp - n_seg
+            wv = jnp.concatenate(
+                [jnp.full((q_n, pad), NEG_INF, wv.dtype), wv], axis=1)
+            wi = jnp.concatenate(
+                [jnp.zeros((q_n, pad), wi.dtype), wi], axis=1)
+        cv = jnp.concatenate([best_vals[:], wv], axis=1)      # bitonic, 2*kp
+        ci = jnp.concatenate([best_idx[:], wi], axis=1)
+        cv, ci = bitonic_merge_desc(cv, ci)
+        best_vals[:] = cv[:, :kp]
+        best_idx[:] = ci[:, :kp]
+        thr = cv[:, k - 1]
+        return jnp.any(masked > thr[:, None, None])
+
+    jax.lax.while_loop(lambda more: more, round_body, need0)
+
+    @pl.when(i == n_blocks - 1)
+    def _emit():
+        vals_ref[:] = best_vals[:, :k]
+        idx_ref[:] = best_idx[:, :k]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("k", "metric", "block_rows", "interpret"))
@@ -121,13 +288,16 @@ def pallas_flat_topk(queries, db, count, k: int, metric: str = "cosine",
     convention as ops/scan.flat_scan_topk. Padding rows (>= count) never
     appear unless fewer than k rows are live.
     """
-    if k > MAX_PALLAS_K:
-        raise ValueError(f"pallas path supports k <= {MAX_PALLAS_K}")
+    if k > MAX_PALLAS_K_BIG:
+        raise ValueError(f"pallas path supports k <= {MAX_PALLAS_K_BIG}")
     n_pad, d_pad = db.shape
     q_n = queries.shape[0]
     block = block_rows or pick_block_rows(d_pad, db.dtype.itemsize)
     assert n_pad % block == 0, (n_pad, block)
     n_blocks = n_pad // block
+    bigk = k > MAX_PALLAS_K
+    kp = max(_next_pow2(k), 128) if bigk else k
+    assert not bigk or block // _SEG <= kp, (block, kp)
 
     q = queries.astype(db.dtype)
     if db_sqnorms is None:
@@ -156,14 +326,23 @@ def pallas_flat_topk(queries, db, count, k: int, metric: str = "cosine",
             pl.BlockSpec((q_n, k), lambda i, s: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((q_n, k), jnp.float32),
-            pltpu.VMEM((q_n, k), jnp.int32),
-        ],
+        scratch_shapes=(
+            [pltpu.VMEM((q_n, kp), jnp.float32),
+             pltpu.VMEM((q_n, kp), jnp.int32),
+             pltpu.VMEM((q_n, block), jnp.float32)]
+            if bigk else
+            [pltpu.VMEM((q_n, k), jnp.float32),
+             pltpu.VMEM((q_n, k), jnp.int32)]
+        ),
     )
 
-    kernel = functools.partial(_scan_kernel, k=k, block_rows=block,
-                               metric=metric, filtered=filtered)
+    if bigk:
+        kernel = functools.partial(_scan_kernel_bigk, k=k, kp=kp,
+                                   block_rows=block, metric=metric,
+                                   filtered=filtered)
+    else:
+        kernel = functools.partial(_scan_kernel, k=k, block_rows=block,
+                                   metric=metric, filtered=filtered)
     vals, idx = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

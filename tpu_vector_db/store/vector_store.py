@@ -357,11 +357,14 @@ class TPUVectorStore:
         return b
 
     def _use_pallas(self, k: int, filtered: bool) -> bool:
-        if k > 32 or not getattr(self.config, "use_pallas", True):
+        if not getattr(self.config, "use_pallas", True):
             return False
         if jax.default_backend() != "tpu":
             return False
-        from tpu_vector_db.ops.pallas_scan import pick_block_rows
+        from tpu_vector_db.ops.pallas_scan import (
+            MAX_PALLAS_K_BIG, pick_block_rows)
+        if k > MAX_PALLAS_K_BIG:
+            return False
         block = pick_block_rows(self._d_pad, self._db.dtype.itemsize)
         return self._cap % block == 0
 
