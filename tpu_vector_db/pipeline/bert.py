@@ -1,0 +1,207 @@
+"""Faithful BERT encoder in Flax + HF checkpoint weight mapping.
+
+The reference loaded and ran real pretrained MiniLM/bge 4-bit checkpoints via
+mlx_embeddings (integrations/mlx_lm_pipeline.py:149-321). This module gives
+the TPU build the same capability without any model-hub egress: a
+BERT-architecture Flax module whose parameter tree maps 1:1 onto HuggingFace
+``BertModel`` checkpoints (pytorch_model.bin or model.safetensors), plus the
+loader that performs the mapping. MiniLM-L6, bge-small/base, and every other
+BERT-family sentence encoder load through this path.
+
+Numerical parity is tested against ``transformers.BertModel`` (torch, CPU)
+on a tiny randomly-initialized checkpoint saved in HF format
+(tests/test_bert.py) — golden embeddings without network access.
+
+TPU notes: matmuls run in a configurable dtype (bf16 on TPU), LayerNorms and
+softmax in float32; shapes are static per (batch, seq) bucket so jit
+compiles a bounded set of programs.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+from dataclasses import dataclass
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class BertConfig:
+    vocab_size: int = 30522
+    hidden_size: int = 384
+    num_hidden_layers: int = 6
+    num_attention_heads: int = 12
+    intermediate_size: int = 1536
+    max_position_embeddings: int = 512
+    type_vocab_size: int = 2
+    layer_norm_eps: float = 1e-12
+    hidden_act: str = "gelu"
+
+    @classmethod
+    def from_hf_dir(cls, path: str | Path) -> "BertConfig":
+        """Read the subset of HF config.json this module needs."""
+        raw = json.loads((Path(path) / "config.json").read_text())
+        fields = {f: raw[f] for f in cls.__dataclass_fields__ if f in raw}
+        return cls(**fields)
+
+
+# --------------------------------------------------------------- the model
+
+def make_bert_module(cfg: BertConfig, compute_dtype=jnp.bfloat16):
+    """Build the Flax module. Param tree layout is chosen so the HF mapping
+    in load_hf_params is positional-free: one named submodule per HF tensor
+    group."""
+    import flax.linen as nn
+
+    dtype = compute_dtype
+    head_dim = cfg.hidden_size // cfg.num_attention_heads
+
+    class Layer(nn.Module):
+        @nn.compact
+        def __call__(self, x, bias):
+            b, s, h = x.shape
+            q = nn.Dense(cfg.hidden_size, dtype=dtype, name="query")(x)
+            k = nn.Dense(cfg.hidden_size, dtype=dtype, name="key")(x)
+            v = nn.Dense(cfg.hidden_size, dtype=dtype, name="value")(x)
+            q = q.reshape(b, s, cfg.num_attention_heads, head_dim)
+            k = k.reshape(b, s, cfg.num_attention_heads, head_dim)
+            v = v.reshape(b, s, cfg.num_attention_heads, head_dim)
+            scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                                preferred_element_type=jnp.float32)
+            scores = scores / np.sqrt(head_dim) + bias
+            probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+            ctx = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(dtype), v,
+                             preferred_element_type=jnp.float32)
+            ctx = ctx.astype(dtype).reshape(b, s, h)
+            a = nn.Dense(cfg.hidden_size, dtype=dtype, name="attn_out")(ctx)
+            x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
+                             name="attn_layernorm")(x + a)
+            x = x.astype(dtype)
+            hdn = nn.Dense(cfg.intermediate_size, dtype=dtype,
+                           name="intermediate")(x)
+            # HF "gelu" is the exact erf form; "gelu_new" the tanh approx
+            hdn = nn.gelu(hdn, approximate=cfg.hidden_act == "gelu_new")
+            hdn = nn.Dense(cfg.hidden_size, dtype=dtype, name="output")(hdn)
+            x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
+                             name="out_layernorm")(x + hdn)
+            return x.astype(dtype)
+
+    class Bert(nn.Module):
+        @nn.compact
+        def __call__(self, ids, mask):
+            word = nn.Embed(cfg.vocab_size, cfg.hidden_size,
+                            name="word_embeddings", dtype=dtype)(ids)
+            pos_ids = jnp.arange(ids.shape[1])[None, :]
+            pos = nn.Embed(cfg.max_position_embeddings, cfg.hidden_size,
+                           name="position_embeddings", dtype=dtype)(pos_ids)
+            typ = nn.Embed(cfg.type_vocab_size, cfg.hidden_size,
+                           name="token_type_embeddings", dtype=dtype)(
+                jnp.zeros_like(ids))
+            x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
+                             name="emb_layernorm")(word + pos + typ)
+            x = x.astype(dtype)
+            bias = (1.0 - mask[:, None, None, :].astype(jnp.float32)) * -1e9
+            for i in range(cfg.num_hidden_layers):
+                x = Layer(name=f"layer_{i}")(x, bias)
+            return x  # (B, S, H) last hidden state
+
+    return Bert()
+
+
+# ------------------------------------------------------------ HF weight map
+
+def _read_hf_state_dict(model_dir: Path) -> dict[str, np.ndarray]:
+    """Load the raw tensor dict from an HF checkpoint directory."""
+    st = model_dir / "model.safetensors"
+    if st.exists():
+        from safetensors.numpy import load_file
+        return load_file(st)
+    bins = sorted(model_dir.glob("pytorch_model*.bin"))
+    if not bins:
+        raise FileNotFoundError(
+            f"no model.safetensors or pytorch_model*.bin in {model_dir}")
+    import torch
+    state: dict[str, np.ndarray] = {}
+    for b in bins:
+        sd = torch.load(b, map_location="cpu", weights_only=True)
+        state.update({k: v.float().numpy() for k, v in sd.items()})
+    return state
+
+
+def load_hf_params(model_dir: str | Path, cfg: BertConfig,
+                   param_dtype=jnp.float32) -> dict:
+    """HF BertModel state dict -> this module's Flax param tree.
+
+    Accepts both bare BertModel keys (``embeddings.word_embeddings.weight``)
+    and task-model keys with a ``bert.`` prefix. torch Linear weights are
+    (out, in) and transpose to Flax (in, out) kernels; LayerNorm
+    weight/bias become scale/bias."""
+    model_dir = Path(model_dir)
+    raw = _read_hf_state_dict(model_dir)
+    state = {}
+    for k, v in raw.items():
+        state[k[5:] if k.startswith("bert.") else k] = np.asarray(v)
+
+    def emb(name):
+        return {"embedding": jnp.asarray(state[f"embeddings.{name}.weight"],
+                                         param_dtype)}
+
+    def ln(prefix):
+        return {"scale": jnp.asarray(state[f"{prefix}.weight"], param_dtype),
+                "bias": jnp.asarray(state[f"{prefix}.bias"], param_dtype)}
+
+    def dense(prefix):
+        return {"kernel": jnp.asarray(state[f"{prefix}.weight"].T,
+                                      param_dtype),
+                "bias": jnp.asarray(state[f"{prefix}.bias"], param_dtype)}
+
+    params = {
+        "word_embeddings": emb("word_embeddings"),
+        "position_embeddings": emb("position_embeddings"),
+        "token_type_embeddings": emb("token_type_embeddings"),
+        "emb_layernorm": ln("embeddings.LayerNorm"),
+    }
+    n_layers = 0
+    while f"encoder.layer.{n_layers}.attention.self.query.weight" in state:
+        n_layers += 1
+    if n_layers != cfg.num_hidden_layers:
+        raise ValueError(f"checkpoint has {n_layers} layers, config says "
+                         f"{cfg.num_hidden_layers}")
+    for i in range(n_layers):
+        p = f"encoder.layer.{i}"
+        params[f"layer_{i}"] = {
+            "query": dense(f"{p}.attention.self.query"),
+            "key": dense(f"{p}.attention.self.key"),
+            "value": dense(f"{p}.attention.self.value"),
+            "attn_out": dense(f"{p}.attention.output.dense"),
+            "attn_layernorm": ln(f"{p}.attention.output.LayerNorm"),
+            "intermediate": dense(f"{p}.intermediate.dense"),
+            "output": dense(f"{p}.output.dense"),
+            "out_layernorm": ln(f"{p}.output.LayerNorm"),
+        }
+    logger.info("mapped HF checkpoint %s: %d layers, hidden %d",
+                model_dir, n_layers, cfg.hidden_size)
+    return {"params": params}
+
+
+# ------------------------------------------------------------------ pooling
+
+def pool_hidden(hidden: jnp.ndarray, mask: jnp.ndarray,
+                pooling: str) -> jnp.ndarray:
+    """'mean' (MiniLM / sentence-transformers) or 'cls' (bge-*) pooling of
+    the last hidden state, then L2 normalization — the exact recipe the
+    reference applied (mlx_lm_pipeline.py:81-108,293-311)."""
+    if pooling == "cls":
+        pooled = hidden[:, 0, :].astype(jnp.float32)
+    else:
+        m = mask.astype(jnp.float32)[:, :, None]
+        pooled = (jnp.sum(hidden.astype(jnp.float32) * m, axis=1)
+                  / jnp.maximum(jnp.sum(m, axis=1), 1e-9))
+    norm = jnp.linalg.norm(pooled, axis=-1, keepdims=True)
+    return pooled / jnp.maximum(norm, 1e-12)

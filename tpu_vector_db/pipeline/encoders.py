@@ -319,17 +319,104 @@ class FlaxTransformerEncoder(BaseEncoder):
         return np.asarray(out[:n], np.float32)
 
 
+# -------------------------------------------------- pretrained BERT encoder
+
+class BertEncoder(BaseEncoder):
+    """Serves a real pretrained BERT-family checkpoint (MiniLM, bge-*, any
+    HF BertModel) from a local directory: WordPiece tokenization against the
+    checkpoint's vocab.txt, the faithful Flax BERT forward from
+    pipeline/bert.py, mean or CLS pooling, L2 normalize. The capability the
+    reference got from mlx_embeddings' 4-bit community models
+    (integrations/mlx_lm_pipeline.py:149-321), minus the model-hub egress:
+    point checkpoint_path at a directory holding config.json + vocab.txt +
+    model.safetensors (or pytorch_model.bin)."""
+
+    def __init__(self, config: EncoderConfig, pooling: str = "mean") -> None:
+        super().__init__(config)
+        if not config.checkpoint_path:
+            raise ValueError("BertEncoder needs config.checkpoint_path "
+                             "pointing at an HF checkpoint directory")
+        self.pooling = pooling
+        self._params = None
+        self._model = None
+        self._tokenizer = None
+
+    def load(self) -> None:
+        from pathlib import Path
+
+        from tpu_vector_db.pipeline import bert
+        from tpu_vector_db.pipeline.wordpiece import WordPieceTokenizer
+
+        ckpt = Path(self.config.checkpoint_path)
+        bcfg = bert.BertConfig.from_hf_dir(ckpt)
+        dtype = (jnp.bfloat16 if self.config.dtype == "bfloat16"
+                 else jnp.float32)
+        self._bert_cfg = bcfg
+        self._model = bert.make_bert_module(bcfg, compute_dtype=dtype)
+        self._params = bert.load_hf_params(ckpt, bcfg)
+        self._tokenizer = WordPieceTokenizer(ckpt / "vocab.txt")
+        self._pool = bert.pool_hidden
+
+        model, pooling = self._model, self.pooling
+
+        @jax.jit
+        def forward(params, ids, mask):
+            hidden = model.apply(params, ids, mask)
+            return bert.pool_hidden(hidden, mask, pooling)
+
+        self._forward = forward
+        self._loaded = True
+        # the served dimension is the checkpoint's hidden size
+        if self.config.dimension != bcfg.hidden_size:
+            logger.warning(
+                "config dimension %d != checkpoint hidden %d; serving %d",
+                self.config.dimension, bcfg.hidden_size, bcfg.hidden_size)
+            self.config.dimension = bcfg.hidden_size
+        logger.info("BERT encoder %s loaded from %s (%d layers, %s pooling)",
+                    self.config.name, ckpt, bcfg.num_hidden_layers, pooling)
+
+    def _encode(self, texts: list[str]) -> np.ndarray:
+        n = len(texts)
+        b = _bucket(n, BATCH_BUCKETS)
+        padded = texts + [""] * (b - n)
+        # one tokenizer pass decides the sequence bucket ([CLS]+[SEP] = +2)
+        rows = [self._tokenizer.encode(
+            t, max_length=self.config.max_sequence_length) for t in padded]
+        seq = _bucket(max(len(r) for r in rows), SEQ_BUCKETS)
+        ids = np.full((b, seq), self._tokenizer.pad_id, np.int32)
+        mask = np.zeros((b, seq), np.int32)
+        for i, row in enumerate(rows):
+            row = row[:seq]
+            ids[i, : len(row)] = row
+            mask[i, : len(row)] = 1
+        out = self._forward(self._params, jnp.asarray(ids), jnp.asarray(mask))
+        return np.asarray(out[:n], np.float32)
+
+
 def create_encoder(model_name: str = "hash-384",
                    **overrides) -> BaseEncoder:
-    """Factory over the registry; hash-* -> HashingEncoder, else Flax."""
+    """Factory over the registry; hash-* -> HashingEncoder, hf:<dir> or a
+    checkpoint_path holding an HF config.json -> BertEncoder (real
+    pretrained weights), else the generic Flax transformer."""
+    from pathlib import Path
+
+    pooling = overrides.pop("pooling", "mean")
+    if model_name.startswith("hf:"):
+        path = model_name[3:]
+        cfg = EncoderConfig(name=Path(path).name or "hf-bert",
+                            checkpoint_path=path, **overrides)
+        return BertEncoder(cfg, pooling=pooling)
     if model_name not in EMBEDDING_MODEL_REGISTRY:
         raise KeyError(
             f"unknown model {model_name!r}; available: "
-            f"{sorted(EMBEDDING_MODEL_REGISTRY)}")
+            f"{sorted(EMBEDDING_MODEL_REGISTRY)} or 'hf:<checkpoint dir>'")
     cfg = EMBEDDING_MODEL_REGISTRY[model_name]
     if overrides:
         from dataclasses import replace
         cfg = replace(cfg, **overrides)
     if model_name.startswith("hash-"):
         return HashingEncoder(cfg)
+    ckpt = cfg.checkpoint_path
+    if ckpt and (Path(ckpt) / "config.json").exists():
+        return BertEncoder(cfg, pooling=pooling)
     return FlaxTransformerEncoder(cfg)
