@@ -1,0 +1,351 @@
+"""IVFIndex — inverted-file ANN designed around the TPU memory system.
+
+Second index family next to the beam graph (index/beam_graph.py). Where the
+graph replaces hnswlib's traversal contract (M/ef), IVF exploits what a TPU
+is actually good at, on both ends:
+
+* BUILD is k-means (ops/kmeans.py) — pure MXU matmuls, seconds for 1M rows
+  where graph construction is minutes-to-hours. Fixes the build-time cliff
+  the reference inherited from full HNSW rebuilds
+  (service/optimized_vector_store.py:110-113).
+* SEARCH is two dense stages: a (Q, C) centroid matmul picks nprobe buckets,
+  then ops/ivf_scan.py streams exactly those buckets through the MXU —
+  contiguous DMA blocks instead of hnswlib's pointer-chasing
+  (performance/hnsw_index.py:79-103). Scanned rows get EXACT scores, so
+  recall is purely a coverage question (nprobe/C), not a routing heuristic.
+
+Layout: rows are re-gathered cluster-major into fixed-size buckets
+(NB, Bc, d); clusters larger than Bc spill into additional buckets (each
+spill bucket competes for probe slots with its cluster's score, so big
+clusters get proportionally more scan). Appends assign new rows to the
+nearest existing centroid and fill bucket free slots in place — O(batch),
+no retrain (centroids refresh on optimize()/rebuild).
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_vector_db.ops import kmeans
+from tpu_vector_db.ops.ivf_scan import (MAX_IVF_PALLAS_K,
+                                        ivf_probe_topk_pallas,
+                                        ivf_probe_topk_xla)
+from tpu_vector_db.utils.fs import atomic_save_npz
+
+logger = logging.getLogger(__name__)
+
+NEG_INF = float("-inf")
+IVF_FILE = "ann_ivf.npz"
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < max(n, 1):
+        p *= 2
+    return p
+
+
+@functools.partial(jax.jit, static_argnames=("nprobe", "metric"))
+def _select_buckets(queries, centroids, bucket_cluster, nprobe: int,
+                    metric: str, c_sqnorms):
+    """(Q, nprobe) bucket ids by descending centroid key. Dead buckets
+    (cluster -1) never win."""
+    cross = jnp.matmul(queries.astype(jnp.float32), centroids.T,
+                       preferred_element_type=jnp.float32)   # (Q, C)
+    if metric == "euclidean":
+        cscore = 2.0 * cross - c_sqnorms[None, :]
+    else:
+        cscore = cross
+    safe = jnp.maximum(bucket_cluster, 0)
+    bscore = cscore[:, safe]                                 # (Q, NB)
+    bscore = jnp.where(bucket_cluster[None, :] >= 0, bscore, NEG_INF)
+    _, sel = jax.lax.top_k(bscore, nprobe)
+    return sel.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _scatter_rows(buckets, flat_pos, rows):
+    nb, bc, d = buckets.shape
+    flat = buckets.reshape(nb * bc, d).at[flat_pos].set(rows)
+    return flat.reshape(nb, bc, d)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _scatter_scalars(arr2d, flat_pos, vals):
+    nb, bc = arr2d.shape
+    return arr2d.reshape(nb * bc).at[flat_pos].set(vals).reshape(nb, bc)
+
+
+class IVFIndex:
+    """Owns centroids + the bucketized copy of the rows. Unlike the beam
+    graph this index DOES duplicate vector data (cluster-major layout is
+    the point); ~1x store size extra in the storage dtype."""
+
+    def __init__(self, dim: int, metric: str = "cosine",
+                 n_clusters: int | None = None, nprobe: int = 32,
+                 bucket_rows: int | None = None, train_iters: int = 10,
+                 seed: int = 0) -> None:
+        self.dim = dim
+        self.metric = metric
+        self.n_clusters = n_clusters          # None = auto at build
+        self.nprobe = int(nprobe)
+        self.bucket_rows = bucket_rows        # None = auto at build
+        self.train_iters = int(train_iters)
+        self._seed = seed
+
+        self._n = 0
+        self._centroids: np.ndarray | None = None       # (C, d_pad) f32 host
+        self._ids: np.ndarray | None = None             # (NB, Bc) i32 host
+        self._bucket_cluster: np.ndarray | None = None  # (NB,) i32 host
+        self._free: np.ndarray | None = None            # (NB,) free slots
+        self.build_time_s = 0.0
+
+        # device mirrors (materialized lazily from the store's db)
+        self._dev = None          # dict: centroids, buckets, ids, sqnorms,
+        self._dev_rows = 0        # rows materialized into the device copy
+
+    # ------------------------------------------------------------- plumbing
+
+    @property
+    def built(self) -> bool:
+        return self._n > 0 and self._centroids is not None
+
+    @property
+    def size(self) -> int:
+        return self._n
+
+    @staticmethod
+    def auto_clusters(count: int) -> int:
+        """~2*sqrt(N), power of two, clamped: 1M -> 2048, 10M -> 8192."""
+        return min(max(_next_pow2(int(2 * np.sqrt(max(count, 1)))), 16),
+                   8192)
+
+    def _auto_bucket_rows(self, count: int, n_clusters: int) -> int:
+        avg = max(count // n_clusters, 1)
+        return min(max(_next_pow2(int(avg * 1.3)), 256), 8192)
+
+    # ----------------------------------------------------------------- build
+
+    def build(self, db, count: int, sqnorms=None) -> dict:
+        t0 = time.perf_counter()
+        c = self.n_clusters or self.auto_clusters(count)
+        c = min(c, max(count, 1))
+        bc = self.bucket_rows or self._auto_bucket_rows(count, c)
+        centroids, _ = kmeans.train_kmeans(
+            db, count, c, metric=self.metric, iters=self.train_iters,
+            seed=self._seed)
+        assign = np.asarray(kmeans.assign_clusters(
+            db, np.int32(count), centroids, metric=self.metric))[:count]
+        self._centroids = np.asarray(centroids, np.float32)
+        self._bucketize(assign, count, bc)
+        self._n = count
+        self._dev = None
+        self._dev_rows = 0
+        self.build_time_s = time.perf_counter() - t0
+        logger.info(
+            "IVF built: %d rows, %d clusters, %d buckets x %d rows in %.1fs",
+            count, c, len(self._bucket_cluster), bc, self.build_time_s)
+        return {"nodes": count, "build_time_s": self.build_time_s,
+                "clusters": c, "buckets": len(self._bucket_cluster)}
+
+    def _bucketize(self, assign: np.ndarray, count: int, bc: int) -> None:
+        order = np.argsort(assign, kind="stable")
+        sizes = np.bincount(assign, minlength=len(self._centroids))
+        ids_rows, clusters, free = [], [], []
+        pos = 0
+        for cl, sz in enumerate(sizes):
+            rows = order[pos: pos + sz]
+            pos += sz
+            if sz == 0:
+                continue
+            for s in range(0, sz, bc):
+                chunk = rows[s: s + bc]
+                row = np.full(bc, -1, np.int32)
+                row[: len(chunk)] = chunk
+                ids_rows.append(row)
+                clusters.append(cl)
+                free.append(bc - len(chunk))
+        self._ids = np.stack(ids_rows).astype(np.int32)
+        self._bucket_cluster = np.asarray(clusters, np.int32)
+        self._free = np.asarray(free, np.int64)
+
+    # ------------------------------------------------------------------- add
+
+    def add(self, db, old_count: int, new_count: int, sqnorms=None) -> dict:
+        """Assign rows [old_count, new_count) to nearest centroids and fill
+        bucket free slots in place — no retrain, no rebuild."""
+        t0 = time.perf_counter()
+        if not self.built:
+            return self.build(db, new_count, sqnorms)
+        if old_count != self._n:
+            raise ValueError(f"add must continue from {self._n}, "
+                             f"got {old_count}")
+        n_new = new_count - old_count
+        new_rows = db[old_count:new_count]
+        cents = jnp.asarray(self._centroids)
+        cscore = jnp.matmul(new_rows.astype(jnp.float32), cents.T,
+                            preferred_element_type=jnp.float32)
+        if self.metric == "euclidean":
+            cscore = 2.0 * cscore - jnp.sum(cents * cents, -1)[None, :]
+        assign = np.asarray(jnp.argmax(cscore, axis=-1), np.int32)
+
+        bc = self._ids.shape[1]
+        by_cluster: dict[int, list[int]] = {}
+        for i, cl in enumerate(assign):
+            by_cluster.setdefault(int(cl), []).append(old_count + i)
+        placed: list[tuple[int, int, int]] = []   # (bucket, slot, row_id)
+        for cl, rows in by_cluster.items():
+            rows = list(rows)
+            while rows:
+                # last bucket of this cluster with free space, else new one
+                cand = np.where((self._bucket_cluster == cl)
+                                & (self._free > 0))[0]
+                if len(cand):
+                    b = int(cand[-1])
+                else:
+                    b = len(self._bucket_cluster)
+                    self._ids = np.vstack(
+                        [self._ids, np.full((1, bc), -1, np.int32)])
+                    self._bucket_cluster = np.append(
+                        self._bucket_cluster, np.int32(cl))
+                    self._free = np.append(self._free, bc)
+                    self._dev = None  # bucket count changed: re-materialize
+                take = min(len(rows), int(self._free[b]))
+                start = bc - int(self._free[b])
+                for s in range(take):
+                    self._ids[b, start + s] = rows[s]
+                    placed.append((b, start + s, rows[s]))
+                self._free[b] -= take
+                rows = rows[take:]
+        self._n = new_count
+        if self._dev is not None and placed:
+            flat_pos = jnp.asarray(
+                [b * bc + s for b, s, _ in placed], jnp.int32)
+            row_ids = jnp.asarray([r for _, _, r in placed], jnp.int32)
+            self._dev["buckets"] = _scatter_rows(
+                self._dev["buckets"], flat_pos, db[row_ids])
+            self._dev["ids"] = _scatter_scalars(
+                self._dev["ids"], flat_pos, row_ids)
+            if self._dev["sqnorms"] is not None and sqnorms is not None:
+                self._dev["sqnorms"] = _scatter_scalars(
+                    self._dev["sqnorms"], flat_pos, sqnorms[row_ids])
+            self._dev["fills"] = jnp.asarray(
+                self._ids.shape[1] - self._free, jnp.int32)
+            self._dev_rows = new_count
+        dt = time.perf_counter() - t0
+        self.build_time_s += dt
+        return {"nodes": n_new, "build_time_s": dt}
+
+    # ---------------------------------------------------------------- search
+
+    def _ensure_device(self, db, sqnorms) -> None:
+        if self._dev is not None and self._dev_rows == self._n:
+            return
+        ids = jnp.asarray(self._ids)
+        flat = jnp.maximum(ids.reshape(-1), 0)
+        buckets = db[flat].reshape(self._ids.shape + (db.shape[1],))
+        sq = (sqnorms[flat].reshape(self._ids.shape)
+              if sqnorms is not None else None)
+        self._dev = {
+            "centroids": jnp.asarray(self._centroids),
+            "c_sqnorms": jnp.asarray(
+                (self._centroids ** 2).sum(-1), jnp.float32),
+            "buckets": buckets,
+            "ids": ids,
+            "fills": jnp.asarray(
+                self._ids.shape[1] - self._free, jnp.int32),
+            "sqnorms": sq,
+            "bucket_cluster": jnp.asarray(self._bucket_cluster),
+        }
+        self._dev_rows = self._n
+
+    def search(self, queries, db, count: int, k: int,
+               nprobe: int | None = None, sqnorms=None):
+        """(Q, k) global ids + keys (store's maximize convention); -1 ids
+        mark empty slots. queries must be PREPARED like db rows."""
+        if not self.built:
+            raise RuntimeError("index not built")
+        self._ensure_device(db, sqnorms)
+        dev = self._dev
+        nb = dev["ids"].shape[0]
+        p = min(nprobe or self.nprobe, nb)
+        q = jnp.asarray(queries, jnp.float32)
+        sel = _select_buckets(q, dev["centroids"], dev["bucket_cluster"],
+                              p, self.metric, dev["c_sqnorms"])
+        use_pallas = (k <= MAX_IVF_PALLAS_K
+                      and jax.default_backend() == "tpu"
+                      and self.metric != "euclidean")
+        if use_pallas:
+            keys, ids = ivf_probe_topk_pallas(
+                q, dev["buckets"], dev["ids"], dev["fills"], sel, k)
+        else:
+            keys, ids = ivf_probe_topk_xla(
+                q, dev["buckets"], dev["ids"], sel, k,
+                metric=self.metric, bucket_sqnorms=dev["sqnorms"])
+        keys = np.asarray(keys)
+        ids = np.asarray(ids)
+        ids = np.where(keys == NEG_INF, -1, ids)
+        return ids, keys
+
+    # ----------------------------------------------------------- persistence
+
+    def save(self, directory: str | Path) -> None:
+        if not self.built:
+            return
+        atomic_save_npz(
+            Path(directory) / IVF_FILE,
+            centroids=self._centroids,
+            ids=self._ids,
+            bucket_cluster=self._bucket_cluster,
+            free=self._free,
+            meta=np.array([self._n, self.nprobe, self.dim,
+                           self.train_iters], np.int64))
+
+    def load(self, directory: str | Path) -> bool:
+        path = Path(directory) / IVF_FILE
+        if not path.exists():
+            return False
+        try:
+            with np.load(path) as z:
+                centroids = z["centroids"]
+                ids = z["ids"]
+                bucket_cluster = z["bucket_cluster"]
+                free = z["free"]
+                n, nprobe, dim, iters = z["meta"]
+            if dim != self.dim:
+                raise ValueError("IVF metadata mismatch")
+            self._centroids = centroids
+            self._ids = ids
+            self._bucket_cluster = bucket_cluster
+            self._free = free
+            self._n = int(n)
+            self.nprobe = int(nprobe)
+            self._dev = None
+            self._dev_rows = 0
+            return True
+        except Exception:  # noqa: BLE001 — corrupt index -> rebuild
+            logger.exception("corrupt IVF index at %s; will rebuild", path)
+            return False
+
+    def get_stats(self) -> dict:
+        nb, bc = (self._ids.shape if self._ids is not None else (0, 0))
+        live = int((self._ids >= 0).sum()) if self._ids is not None else 0
+        return {
+            "type": "ivf",
+            "nodes": self._n,
+            "clusters": (len(self._centroids)
+                         if self._centroids is not None else 0),
+            "nprobe": self.nprobe,
+            "buckets": nb,
+            "bucket_rows": bc,
+            "fill_ratio": round(live / max(nb * bc, 1), 3),
+            "build_time_s": round(self.build_time_s, 3),
+            "memory_mb": round(nb * bc * (self.dim * 2 + 4) / 2**20, 2),
+        }

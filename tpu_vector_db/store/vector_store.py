@@ -469,14 +469,40 @@ class TPUVectorStore:
 
     # ------------------------------------------------------------------ ANN
 
+    @property
+    def _ann_kind(self) -> str:
+        """'beam_graph' (hnswlib-contract graph) or 'ivf' (k-means inverted
+        file — seconds-scale MXU build, bucket-streamed probes)."""
+        return self.config.ann_params.get("index_type", "beam_graph")
+
     def _make_ann(self):
-        from tpu_vector_db.index.beam_graph import BeamGraphIndex
         p = self.config.ann_params
+        if self._ann_kind == "ivf":
+            from tpu_vector_db.index.ivf import IVFIndex
+            return IVFIndex(
+                dim=self.config.dimension, metric=self.metric,
+                n_clusters=p.get("n_clusters"),
+                nprobe=p.get("nprobe", 32),
+                bucket_rows=p.get("bucket_rows"),
+                train_iters=p.get("train_iters", 10))
+        from tpu_vector_db.index.beam_graph import BeamGraphIndex
         return BeamGraphIndex(
             dim=self.config.dimension, metric=self.metric,
             M=p.get("M", 16),
             ef_construction=p.get("ef_construction", 200),
             alpha=p.get("alpha", 1.2))
+
+    def _ann_search(self, queries_prepared, fetch_k: int):
+        """Uniform index dispatch: graph takes ef_search, IVF takes nprobe."""
+        p = self.config.ann_params
+        if self._ann_kind == "ivf":
+            return self._ann.search(
+                queries_prepared, self._db, self._count, k=fetch_k,
+                nprobe=p.get("nprobe"), sqnorms=self._sqnorms)
+        ef = max(p.get("ef_search", 100), fetch_k)
+        return self._ann.search(
+            queries_prepared, self._db, self._count, k=fetch_k,
+            ef_search=ef, sqnorms=self._sqnorms)
 
     def _refresh_ann(self, incremental_from: int | None = None) -> None:
         """Build or incrementally extend the ANN graph (true incremental
@@ -488,6 +514,8 @@ class TPUVectorStore:
         if self._ann is None:
             self._ann = self._make_ann()
         backend = self.config.ann_params.get("build_backend", "tpu")
+        if self._ann_kind == "ivf":
+            backend = "tpu"  # k-means trains on device; no native builder
         if incremental_from in (None, 0) or \
                 self._ann.size != incremental_from:
             if backend in ("cpu", "auto"):
@@ -535,10 +563,7 @@ class TPUVectorStore:
         rows = np.sort(rng.choice(self._count, size=n, replace=False))
         queries = self._host_buf[rows].astype(np.float32)
         _, flat_idx = self._flat_topk(queries, k_eff, None)
-        ef = max(p.get("ef_search", 100), k_eff)
-        labels, _ = self._ann.search(
-            self._prepare_queries(queries), self._db, self._count,
-            k=k_eff, ef_search=ef, sqnorms=self._sqnorms)
+        labels, _ = self._ann_search(self._prepare_queries(queries), k_eff)
         labels = np.asarray(labels)
         hits = sum(
             len({int(x) for x in flat_idx[i]} &
@@ -573,12 +598,9 @@ class TPUVectorStore:
 
     def _ann_batch_query(self, arr: np.ndarray, k: int,
                          filter_metadata: dict | None):
-        ef = self.config.ann_params.get("ef_search", 100)
         # oversample under filters, parity with reference k*10 heuristic
         fetch_k = min(self._count, k * 10) if filter_metadata else k
-        labels, keys = self._ann.search(
-            self._prepare_queries(arr), self._db, self._count,
-            k=fetch_k, ef_search=max(ef, fetch_k), sqnorms=self._sqnorms)
+        labels, keys = self._ann_search(self._prepare_queries(arr), fetch_k)
         out = []
         for row_labels, row_keys in zip(labels, keys):
             indices, scores, metas = [], [], []
@@ -684,8 +706,8 @@ class TPUVectorStore:
                 "vector_count": self._count,
                 "dimension": self.config.dimension,
                 "metric": self.metric,
-                "index_type": "beam_graph" if (self.config.enable_ann and
-                                               self._ann is not None) else "flat",
+                "index_type": self._ann_kind if (self.config.enable_ann and
+                                                 self._ann is not None) else "flat",
                 "storage_dtype": self.config.storage_dtype,
                 "device_capacity": self._cap,
                 "ann_recall_estimate": self._ann_recall_estimate,
