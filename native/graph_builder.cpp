@@ -45,11 +45,29 @@ class Builder {
         : vecs_(vecs), n_(n), d_(d), metric_(metric), R_(R), efc_(efc),
           alpha_(alpha), graph_(n * R, -1),
           keys_(n * R, -std::numeric_limits<float>::infinity()),
-          visit_epoch_(n, 0), epoch_(0) {}
+          visit_epoch_(n, 0), epoch_(0) {
+        if (metric_ == 1) {  // cache ||x||^2 once: key() becomes one dot
+            sqnorms_.resize(n);
+            for (int64_t i = 0; i < n; ++i) {
+                const float* x = vecs_ + i * d_;
+                float s = 0.f;
+                for (int64_t t = 0; t < d_; ++t) s += x[t] * x[t];
+                sqnorms_[i] = s;
+            }
+        }
+    }
+
+    // resume from an existing graph over rows [0, n_old): the incremental
+    // path for sharded per-shard subgraphs (no rebuild on append)
+    void load_state(const int32_t* graph, const float* keys, int64_t n_old) {
+        std::memcpy(graph_.data(), graph, sizeof(int32_t) * n_old * R_);
+        std::memcpy(keys_.data(), keys, sizeof(float) * n_old * R_);
+        built_ = n_old;
+    }
 
     void build(int32_t* out_graph, float* out_keys, int32_t* out_entries,
                int entry_count) {
-        bootstrap();
+        if (built_ == 0) bootstrap();
         for (int64_t u = built_; u < n_; ++u) insert(u);
         std::memcpy(out_graph, graph_.data(), sizeof(int32_t) * n_ * R_);
         std::memcpy(out_keys, keys_.data(), sizeof(float) * n_ * R_);
@@ -63,15 +81,12 @@ class Builder {
 
   private:
     float key(int64_t a, int64_t b) const {
-        const float* x = vecs_ + a * d_;
-        const float* y = vecs_ + b * d_;
+        const float* __restrict x = vecs_ + a * d_;
+        const float* __restrict y = vecs_ + b * d_;
         float dot = 0.f;
         for (int64_t i = 0; i < d_; ++i) dot += x[i] * y[i];
-        if (metric_ == 1) {  // euclidean: key = -(|x|^2 - 2x.y + |y|^2)
-            float xx = 0.f, yy = 0.f;
-            for (int64_t i = 0; i < d_; ++i) { xx += x[i] * x[i]; yy += y[i] * y[i]; }
-            return 2.f * dot - xx - yy;
-        }
+        if (metric_ == 1)  // euclidean: key = -(|x|^2 - 2x.y + |y|^2)
+            return 2.f * dot - sqnorms_[a] - sqnorms_[b];
         return dot;
     }
     // distance form for the diversity rule (smaller = closer)
@@ -189,20 +204,46 @@ class Builder {
         search(u, cands);
         alpha_prune(cands, kept);
         set_row(u, kept);
-        // reverse edges on the top half (M = R/2), re-pruned per row
+        // reverse edges on the top half (M = R/2). Cheap path while the
+        // row has free slots: sorted insert, no pruning (the O(R^2 d)
+        // re-prune per backlink dominated build time — the diversity rule
+        // only matters once the row is contended). Full alpha re-prune
+        // only on overflow, matching hnswlib's heuristic trigger.
         int m = std::max(R_ / 2, 1);
         for (int j = 0; j < m && j < static_cast<int>(kept.size()); ++j) {
             int32_t v = kept[j].id;
-            std::vector<Candidate> row;
-            row.reserve(R_ + 1);
+            int64_t base_idx = static_cast<int64_t>(v) * R_;
             bool present = false;
+            int filled = 0;
             for (int t = 0; t < R_; ++t) {
-                int32_t w = graph_[static_cast<int64_t>(v) * R_ + t];
-                if (w < 0) continue;
-                if (w == u) present = true;
-                row.push_back({keys_[static_cast<int64_t>(v) * R_ + t], w});
+                int32_t w = graph_[base_idx + t];
+                if (w == static_cast<int32_t>(u)) { present = true; break; }
+                if (w >= 0 && keys_[base_idx + t] >
+                        -std::numeric_limits<float>::infinity())
+                    ++filled;
             }
             if (present) continue;
+            if (filled < R_) {
+                // sorted insert into the free tail (bootstrap -inf edges
+                // are displaced first)
+                float bk = kept[j].key;
+                int pos = filled;
+                while (pos > 0 && keys_[base_idx + pos - 1] < bk) --pos;
+                for (int t = std::min(filled, R_ - 1); t > pos; --t) {
+                    graph_[base_idx + t] = graph_[base_idx + t - 1];
+                    keys_[base_idx + t] = keys_[base_idx + t - 1];
+                }
+                graph_[base_idx + pos] = static_cast<int32_t>(u);
+                keys_[base_idx + pos] = bk;
+                continue;
+            }
+            std::vector<Candidate> row;
+            row.reserve(R_ + 1);
+            for (int t = 0; t < R_; ++t) {
+                int32_t w = graph_[base_idx + t];
+                if (w < 0) continue;
+                row.push_back({keys_[base_idx + t], w});
+            }
             row.push_back({kept[j].key, static_cast<int32_t>(u)});
             std::sort(row.begin(), row.end(),
                       [](const Candidate& a, const Candidate& b) {
@@ -227,6 +268,7 @@ class Builder {
     float alpha_;
     std::vector<int32_t> graph_;
     std::vector<float> keys_;
+    std::vector<float> sqnorms_;
     std::vector<uint32_t> visit_epoch_;
     uint32_t epoch_;
     int64_t built_ = 0;
@@ -245,6 +287,22 @@ int build_graph(const float* vectors, int64_t n, int64_t d, int metric,
                 int32_t* out_entries, int entry_count) {
     if (n <= 0 || d <= 0 || R <= 0) return 1;
     Builder b(vectors, n, d, metric, R, ef_construction, alpha);
+    b.build(out_graph, out_keys, out_entries, entry_count);
+    return 0;
+}
+
+// Incremental insertion: rows [n_old, n) join an EXISTING graph passed in
+// in_graph/in_keys (the first n_old rows of the out buffers may alias the
+// inputs). Appends stay O(batch * ef) instead of rebuilding — the sharded
+// store's per-shard subgraph extension path.
+int extend_graph(const float* vectors, int64_t n, int64_t n_old, int64_t d,
+                 int metric, int R, int ef_construction, float alpha,
+                 const int32_t* in_graph, const float* in_keys,
+                 int32_t* out_graph, float* out_keys,
+                 int32_t* out_entries, int entry_count) {
+    if (n <= 0 || d <= 0 || R <= 0 || n_old < 0 || n_old > n) return 1;
+    Builder b(vectors, n, d, metric, R, ef_construction, alpha);
+    if (n_old > 0) b.load_state(in_graph, in_keys, n_old);
     b.build(out_graph, out_keys, out_entries, entry_count);
     return 0;
 }

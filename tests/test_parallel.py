@@ -114,6 +114,52 @@ class TestShardedStore:
         stats = shard.get_stats()
         assert stats["sharded"] and stats["n_devices"] == 8
 
+    @pytest.mark.parametrize("metric", ["cosine", "euclidean"])
+    def test_inplace_append_no_replacement(self, tmp_path, rng, metric,
+                                           monkeypatch):
+        """Adds within capacity must NOT re-create/re-ship the sharded
+        buffer (round-1 finding #4): only the first add (allocation) and
+        capacity growth may call _reset_device."""
+        d = 16
+        shard = ShardedVectorStore(
+            tmp_path / "ip", VectorStoreConfig(
+                dimension=d, metric=metric, block_rows=64,
+                initial_capacity=64, persist_mode="off"),
+            mesh=make_device_mesh(8))
+        resets = []
+        orig = ShardedVectorStore._reset_device
+        monkeypatch.setattr(
+            ShardedVectorStore, "_reset_device",
+            lambda self, cap: (resets.append(cap), orig(self, cap))[1])
+        v0 = rng.standard_normal((64, d)).astype(np.float32)
+        shard.add_vectors(v0)          # allocation
+        allocs_after_first = len(resets)
+        db_before = shard._db
+        chunks = [rng.standard_normal((40, d)).astype(np.float32)
+                  for _ in range(4)]
+        for c in chunks:
+            shard.add_vectors(c)       # all fit in the 512-row capacity
+        assert len(resets) == allocs_after_first, (
+            "in-capacity adds re-created the device buffer")
+        assert shard._db.sharding == db_before.sharding
+        # correctness: every appended row is its own nearest neighbor
+        allv = np.concatenate([v0] + chunks)
+        for probe in (70, 130, 223):
+            idx, scores, _ = shard.query(allv[probe], k=1)
+            assert idx == [probe], (probe, idx)
+        # and equals an unsharded store on the same data
+        flat = TPUVectorStore(
+            tmp_path / "flat",
+            VectorStoreConfig(dimension=d, metric=metric, block_rows=64,
+                              persist_mode="off"))
+        flat.add_vectors(allv)
+        q = rng.standard_normal((3, d)).astype(np.float32)
+        got = shard.batch_query(q, k=5)
+        want = flat.batch_query(q, k=5)
+        for g, w in zip(got, want):
+            assert g[0] == w[0]
+            np.testing.assert_allclose(g[1], w[1], atol=1e-3)
+
 
 class TestServingMesh2D:
     def test_replica_shard_mesh_equals_flat(self, rng):
@@ -199,3 +245,48 @@ class TestShardedANN:
         for probe in (3, 450, 890):
             idx, scores, _ = store.query(vecs[probe], k=1)
             assert idx == [probe] and scores[0] > 0.999
+
+    def test_sharded_ann_incremental_extend(self, tmp_path, rng,
+                                            monkeypatch):
+        """In-capacity adds must EXTEND per-shard subgraphs (native
+        extend_graph), not rebuild them (round-1 finding #4)."""
+        from tpu_vector_db.index import native
+        from tpu_vector_db.parallel.sharded_ann import ShardedBeamGraph
+        if not native.available():
+            pytest.skip("no native builder")
+        d = 16
+        cfg = VectorStoreConfig(
+            dimension=d, block_rows=64, initial_capacity=64,
+            persist_mode="off", enable_ann=True,
+            ann_params={"M": 8, "ef_construction": 64, "ef_search": 64,
+                        "self_check": False})
+        store = ShardedVectorStore(tmp_path / "inc", cfg,
+                                   mesh=make_device_mesh(8))
+        builds, adds = [], []
+        orig_build = ShardedBeamGraph.build
+        orig_add = ShardedBeamGraph.add
+        monkeypatch.setattr(
+            ShardedBeamGraph, "build",
+            lambda self, *a, **k: (builds.append(1),
+                                   orig_build(self, *a, **k))[1])
+        monkeypatch.setattr(
+            ShardedBeamGraph, "add",
+            lambda self, *a, **k: (adds.append(1),
+                                   orig_add(self, *a, **k))[1])
+        vecs = rng.standard_normal((1600, d)).astype(np.float32)
+        store.add_vectors(vecs[:256])    # initial build (capacity 512)
+        base_builds = len(builds)
+        cap = store._cap
+        assert cap >= 512
+        # top up within the current capacity: every add must be an extend
+        added = 256
+        while added + 128 <= cap:
+            store.add_vectors(vecs[added: added + 128])
+            added += 128
+        assert len(builds) == base_builds, "in-capacity add rebuilt the ANN"
+        assert len(adds) >= 1
+        assert store._ann.size == added
+        # the extended graph still finds new rows (exact self-match via ANN)
+        for probe in (added - 5, added - 100, 40):
+            idx, scores, _ = store.query(vecs[probe], k=1)
+            assert idx == [probe], (probe, idx)

@@ -44,6 +44,9 @@ class ShardedBeamGraph:
         self.alpha = float(alpha)
         self._graph_dev = None       # (cap, R) int32, row-sharded
         self._entries_dev = None     # (P, E) int32, sharded on axis 0
+        self._graphs_host = None     # (cap, R) int32 — incremental state
+        self._keys_host = None       # (cap, R) f32
+        self._entry_lists: list[np.ndarray] = []
         self._rows_per_shard = 0
         self._count = 0
         self.build_time_s = 0.0
@@ -56,6 +59,27 @@ class ShardedBeamGraph:
     def size(self) -> int:
         return self._count
 
+    def _prepare(self, host_vectors: np.ndarray) -> np.ndarray:
+        prepared = np.ascontiguousarray(host_vectors, np.float32)
+        if self.metric == "cosine":
+            norms = np.linalg.norm(prepared, axis=1, keepdims=True)
+            prepared = prepared / np.maximum(norms, 1e-8)
+        return prepared
+
+    def _entry_target(self, local_n: int) -> int:
+        return int(min(1024, max(8, local_n // 64)))
+
+    def _place_entries(self) -> None:
+        e_max = 1
+        while e_max < max((len(e) for e in self._entry_lists), default=1):
+            e_max *= 2
+        entries = np.full((self.n_dev, e_max), -1, np.int32)
+        for s, e in enumerate(self._entry_lists):
+            entries[s, : len(e)] = e
+        self._entries_dev = jax.device_put(
+            jnp.asarray(entries),
+            NamedSharding(self.mesh, P(self.axis_name, None)))
+
     def build(self, host_vectors: np.ndarray, count: int,
               capacity: int) -> dict:
         """host_vectors: RAW (count, d) f32. capacity: the sharded store's
@@ -65,6 +89,7 @@ class ShardedBeamGraph:
         assert capacity % self.n_dev == 0
         rows = capacity // self.n_dev
         graphs = np.full((capacity, self.R), -1, np.int32)
+        keys = np.full((capacity, self.R), -np.inf, np.float32)
         entry_lists: list[np.ndarray] = []
         sub = BeamGraphIndex(dim=self.dim, metric=self.metric, M=self.M,
                              ef_construction=self.ef_construction,
@@ -76,28 +101,78 @@ class ShardedBeamGraph:
             if local_n > 0:
                 sub.build_cpu(host_vectors[lo:hi], local_n)
                 graphs[lo: lo + local_n] = sub._graph[:local_n]
+                keys[lo: lo + local_n] = sub._edge_keys[:local_n]
                 entry_lists.append(sub._entries.copy())
             else:
                 entry_lists.append(np.empty((0,), np.int32))
 
-        e_max = 1
-        while e_max < max((len(e) for e in entry_lists), default=1):
-            e_max *= 2
-        entries = np.full((self.n_dev, e_max), -1, np.int32)
-        for s, e in enumerate(entry_lists):
-            entries[s, : len(e)] = e
-
+        # host state retained so appends EXTEND subgraphs (native
+        # extend_graph) instead of rebuilding — round-1 finding #4
+        self._graphs_host = graphs
+        self._keys_host = keys
+        self._entry_lists = entry_lists
         self._rows_per_shard = rows
         self._count = count
         self._graph_dev = jax.device_put(
             jnp.asarray(graphs),
             NamedSharding(self.mesh, P(self.axis_name, None)))
-        self._entries_dev = jax.device_put(
-            jnp.asarray(entries),
-            NamedSharding(self.mesh, P(self.axis_name, None)))
+        self._place_entries()
         self.build_time_s = time.perf_counter() - t0
         return {"nodes": count, "shards": self.n_dev,
                 "build_time_s": self.build_time_s}
+
+    def add(self, host_vectors: np.ndarray, old_count: int,
+            new_count: int) -> dict:
+        """Insert rows [old_count, new_count) into their shards' existing
+        subgraphs — O(batch * ef) per shard, no rebuild. Touched graph rows
+        (new + re-pruned reverse edges) scatter to the device copy."""
+        import time
+        from tpu_vector_db.index import native
+        t0 = time.perf_counter()
+        if not self.built or old_count != self._count:
+            raise ValueError(
+                f"add must continue from {self._count}, got {old_count}")
+        rows = self._rows_per_shard
+        first = old_count // rows
+        last = (new_count - 1) // rows
+        touched_all: list[np.ndarray] = []
+        for s in range(first, last + 1):
+            lo = s * rows
+            hi = min(new_count, lo + rows)
+            local_old = max(old_count - lo, 0)
+            local_n = hi - lo
+            if local_n <= local_old:
+                continue
+            prepared = self._prepare(host_vectors[lo:hi])
+            g, k, _ = native.extend_graph(
+                prepared, local_old,
+                self._graphs_host[lo: lo + local_old],
+                self._keys_host[lo: lo + local_old],
+                self.metric, self.R, self.ef_construction, self.alpha,
+                entry_count=self._entry_target(local_n))
+            old_g = self._graphs_host[lo: lo + local_n].copy()
+            self._graphs_host[lo: lo + local_n] = g
+            self._keys_host[lo: lo + local_n] = k
+            changed = np.nonzero((g != old_g).any(axis=1))[0] + lo
+            touched_all.append(changed.astype(np.int32))
+            # entries are LOCAL row ids (the search fn offsets per shard)
+            tgt = min(self._entry_target(local_n), local_n)
+            self._entry_lists[s] = np.unique(
+                np.linspace(0, local_n - 1, tgt).astype(np.int32))
+        self._count = new_count
+        if touched_all:
+            ids = np.concatenate(touched_all)
+            sharding = NamedSharding(self.mesh, P(self.axis_name, None))
+            scatter = jax.jit(
+                lambda g, i, r: g.at[i].set(r, out_sharding=sharding),
+                donate_argnums=(0,), out_shardings=sharding)
+            self._graph_dev = scatter(self._graph_dev, jnp.asarray(ids),
+                                      jnp.asarray(self._graphs_host[ids]))
+            self._place_entries()
+        dt = time.perf_counter() - t0
+        self.build_time_s += dt
+        return {"nodes": new_count - old_count, "build_time_s": dt,
+                "touched_rows": int(sum(len(t) for t in touched_all))}
 
     def make_search_fn(self, k: int, ef_search: int, with_sqnorms: bool):
         """(queries, db, count[, sqnorms]) -> replicated (keys, gids)."""

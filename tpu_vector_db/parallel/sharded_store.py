@@ -14,6 +14,7 @@ import logging
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from tpu_vector_db.ops import distance as D
 from tpu_vector_db.parallel.mesh import (
@@ -104,9 +105,65 @@ class ShardedVectorStore(TPUVectorStore):
         else:
             self._sqnorms = None
 
+    # ------------------------------------------------------ in-place append
+
+    def _get_write_fn(self, rows: int, nd: int):
+        """Donated per-shard masked write under shard_map. Each device
+        overwrites only the rows of ITS range that fall inside
+        [offset, offset+rows) — the only H2D traffic is the new rows
+        (replicated), not the whole matrix (round-1 finding: every add
+        re-shipped the full buffer through the 0.33 GB/s tunnel). A plain
+        global dynamic_update_slice is rejected under explicit sharding
+        (operand row-sharded vs replicated update)."""
+        key = ("write", rows, nd, self._cap)
+        fn = self._query_fns.get(key)
+        if fn is None:
+            out_spec = P(SHARD_AXIS, None) if nd == 2 else P(SHARD_AXIS)
+
+            def write(local_buf, block, offset):
+                rows_local = local_buf.shape[0]
+                i = jax.lax.axis_index(SHARD_AXIS)
+                gidx = (i * rows_local
+                        + jnp.arange(rows_local, dtype=jnp.int32))
+                pos = gidx - offset
+                in_range = (pos >= 0) & (pos < rows)
+                src = block[jnp.clip(pos, 0, rows - 1)]
+                if nd == 2:
+                    return jnp.where(in_range[:, None], src, local_buf)
+                return jnp.where(in_range, src, local_buf)
+
+            sharded = jax.shard_map(
+                write, mesh=self.mesh,
+                in_specs=(out_spec, P(), P()), out_specs=out_spec,
+                check_vma=False)
+            fn = jax.jit(sharded, donate_argnums=(0,))
+            self._query_fns.put(key, fn)
+        return fn
+
+    def _append_in_place(self, arr: np.ndarray, offset: int) -> None:
+        n = arr.shape[0]
+        # pad the batch to a power of two so the jitted write compiles a
+        # bounded set of shapes; the pad rows are zeros landing in the dead
+        # region past count (guarded by the capacity check in add_vectors)
+        rows = 1
+        while rows < n:
+            rows *= 2
+        block = np.zeros((rows, self._d_pad), np.float32)
+        block[:n] = np.asarray(self._prepare_block(arr), np.float32)
+        dtype = (jnp.bfloat16 if self.config.storage_dtype == "bfloat16"
+                 else jnp.float32)
+        blk = jax.device_put(jnp.asarray(block, dtype), self._replicated)
+        self._db = self._get_write_fn(rows, 2)(
+            self._db, blk, jnp.int32(offset))
+        if self._sqnorms is not None:
+            sq = np.zeros((rows,), np.float32)
+            live = arr.astype(np.float32)
+            sq[:n] = np.sum(live * live, axis=-1)
+            sq_blk = jax.device_put(jnp.asarray(sq), self._replicated)
+            self._sqnorms = self._get_write_fn(rows, 1)(
+                self._sqnorms, sq_blk, jnp.int32(offset))
+
     def add_vectors(self, vectors, metadata=None) -> dict:
-        # full re-placement path: in-place dynamic_update_slice on a sharded
-        # buffer would route through XLA scatter across shards
         from tpu_vector_db.utils.validation import validate_vector_shape
         arr = validate_vector_shape(vectors, self.config.dimension)
         n = arr.shape[0]
@@ -115,28 +172,37 @@ class ShardedVectorStore(TPUVectorStore):
         if len(metadata) != n:
             raise ValueError(f"metadata length {len(metadata)} != vectors {n}")
         with self._lock:
-            new_count = self._count + n
+            old_count = self._count
+            new_count = old_count + n
             self._ensure_host_cap(new_count)
-            self._host_buf[self._count: new_count] = arr
+            self._host_buf[old_count: new_count] = arr
             self._metadata.extend(metadata)
             self._meta_index.extend(metadata)
             self._count = new_count
-            self._reset_device(self._capacity_for(new_count))
+            pad_rows = 1
+            while pad_rows < n:
+                pad_rows *= 2
+            if (self._db is not None
+                    and old_count + pad_rows <= self._cap):
+                self._append_in_place(arr, old_count)
+            else:
+                self._reset_device(self._capacity_for(new_count))
             self._ann_stale = True
             self._dirty = True
             if self.config.persist_mode == "sync":
                 self._save()
             if self.config.enable_ann:
-                self._refresh_ann()
+                self._refresh_ann(incremental_from=old_count)
         return {"added": n, "total": self._count}
 
     # ------------------------------------------------------------------ ANN
 
     def _refresh_ann(self, incremental_from=None) -> None:
-        """Per-shard subgraphs (parallel/sharded_ann.py), rebuilt from host
-        vectors on every add batch (incremental sharded insertion is future
-        work). Requires the native builder; degrades to the sharded flat
-        scan otherwise."""
+        """Per-shard subgraphs (parallel/sharded_ann.py). Appends EXTEND the
+        existing subgraphs via the native builder's incremental insert
+        (O(batch * ef)); a full rebuild happens only on first build or when
+        capacity growth re-partitions the shard row ranges. Requires the
+        native builder; degrades to the sharded flat scan otherwise."""
         from tpu_vector_db.index import native
         if self._count == 0:
             return
@@ -146,6 +212,12 @@ class ShardedVectorStore(TPUVectorStore):
             self._ann = None
             return
         from tpu_vector_db.parallel.sharded_ann import ShardedBeamGraph
+        if (self._ann is not None and incremental_from
+                and self._ann.size == incremental_from
+                and self._ann._rows_per_shard == self._cap // self._n_dev):
+            self._ann.add(self._host_buf, incremental_from, self._count)
+            self._ann_stale = False
+            return
         p = self.config.ann_params
         self._ann = ShardedBeamGraph(
             dim=self.config.dimension, metric=self.metric, mesh=self.mesh,
