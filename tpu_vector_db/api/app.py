@@ -210,6 +210,17 @@ async def _on_startup(app: web.Application) -> None:
     """Warmup: device probe + store warmup (reference main.py:64-106)."""
     get_registry().start_sampler()
     get_error_handler().install_shutdown_handlers()
+    # multi-host (DCN) bootstrap, env-gated: set VECTOR_DB_COORDINATOR
+    # (host:port) + VECTOR_DB_NUM_PROCESSES + VECTOR_DB_PROCESS_ID on every
+    # host of the pod slice; single-host deployments skip this entirely
+    import os
+    coordinator = os.environ.get("VECTOR_DB_COORDINATOR")
+    if coordinator:
+        from tpu_vector_db.parallel.mesh import bootstrap_distributed
+        bootstrap_distributed(
+            coordinator_address=coordinator,
+            num_processes=int(os.environ["VECTOR_DB_NUM_PROCESSES"]),
+            process_id=int(os.environ["VECTOR_DB_PROCESS_ID"]))
     try:
         import jax
         import jax.numpy as jnp
