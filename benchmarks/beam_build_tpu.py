@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""TPU build-throughput benchmark for the fused beam-graph build.
+
+Round-1 finding #8: the per-batch host-synced build took 59 min at
+1M x 768D (tunnel-RTT-bound at ~250ms/batch: ~7 dispatches + 4 D2H per
+256 rows). The round-2 build keeps graph + edge keys device-resident,
+fuses search/prune/forward-write/reverse-re-prune into one jitted program,
+and scans _SCAN_K batches per dispatch with ZERO per-batch D2H.
+Target: 1M x 768D build < 15 min through the tunnel.
+
+Run: setsid nohup python benchmarks/beam_build_tpu.py > /tmp/beam_build.log 2>&1 &
+"""
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, ".")
+
+from tpu_vector_db.index.beam_graph import BeamGraphIndex  # noqa: E402
+from tpu_vector_db.ops.pallas_scan import pallas_flat_topk  # noqa: E402
+
+
+def log(msg):
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+def make_clustered(n, d, centers, key, dtype=jnp.bfloat16):
+    kc, kp, kn = jax.random.split(key, 3)
+
+    @jax.jit
+    def gen(kc, kp, kn):
+        mu = jax.random.normal(kc, (centers, d), jnp.float32)
+        pick = jax.random.randint(kp, (n,), 0, centers)
+        x = mu[pick] + 0.15 * jax.random.normal(kn, (n, d), jnp.float32)
+        x = x / jnp.maximum(jnp.linalg.norm(x, -1, keepdims=True), 1e-8)
+        return x.astype(dtype)
+
+    return gen(kc, kp, kn)
+
+
+def run(n, d, batch_q=64, k=10, ef=100):
+    n_pad = ((n + 131071) // 131072) * 131072
+    db = make_clustered(n_pad, d, max(n // 1000, 64), jax.random.PRNGKey(0))
+    jax.block_until_ready(db)
+    log(f"db ready {n}x{d}")
+
+    idx = BeamGraphIndex(dim=d, metric="cosine", M=16, ef_construction=200,
+                         batch_size=256)
+    t0 = time.perf_counter()
+    stats = idx.build(db, n)  # build() materializes host = true sync
+    build_s = time.perf_counter() - t0
+    log(f"  BUILD {n}x{d}: {build_s:.1f}s ({stats})")
+
+    # recall vs exact ground truth on perturbed stored rows
+    kq = jax.random.PRNGKey(7)
+    qbase = db[:100].astype(jnp.float32)
+    q = qbase + 0.05 * jax.random.normal(kq, qbase.shape, jnp.float32)
+    q = q / jnp.maximum(jnp.linalg.norm(q, -1, keepdims=True), 1e-8)
+    _, gt_idx = pallas_flat_topk(q, db, np.int32(n), k, metric="cosine")
+    gt_idx = np.asarray(gt_idx)
+    ids, _ = idx.search(q, db, n, k=k, ef_search=ef)
+    hits = sum(len(set(ids[i]) & set(gt_idx[i])) for i in range(len(q)))
+    log(f"  recall@{k} (ef={ef}): {hits / gt_idx.size:.4f}")
+    del db, idx
+
+
+def main():
+    log(f"backend: {jax.default_backend()}")
+    run(300_000, 768)    # r1: 678s host-synced
+    run(1_000_000, 768)  # r1: 59 min host-synced; target < 15 min
+    log("done")
+
+
+if __name__ == "__main__":
+    main()

@@ -59,9 +59,13 @@ def make_data(kind: str, n: int, d: int, rng):
 def ground_truth(x, q):
     db = D.pad_dim(D.l2_normalize(jnp.asarray(x)))
     qq = D.pad_dim(D.l2_normalize(jnp.asarray(q)))
+    block = min(db.shape[0], 131072)
+    n_pad = -(-db.shape[0] // block) * block  # scan needs whole blocks
+    if n_pad != db.shape[0]:
+        db = jnp.concatenate(
+            [db, jnp.zeros((n_pad - db.shape[0], db.shape[1]), db.dtype)])
     _, idx = flat_scan_topk(qq, db, jnp.int32(len(x)), K, metric="cosine",
-                            db_normalized=True,
-                            block_rows=min(len(db), 131072))
+                            db_normalized=True, block_rows=block)
     return np.asarray(idx), db, qq
 
 
@@ -109,12 +113,16 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
                     help="small sizes for a smoke run")
+    ap.add_argument("--case", type=int, default=None,
+                    help="run only case N (0-based) of the full set")
     args = ap.parse_args()
     rng = np.random.default_rng(0)
     cases = ([("uniform", 5000, 64), ("clustered", 20000, 128)]
              if args.quick else
              [("uniform", 20000, 64), ("uniform", 100000, 64),
               ("clustered", 300000, 768)])
+    if args.case is not None:
+        cases = [cases[args.case]]
     rows = [run_case(kind, n, d, rng) for kind, n, d in cases]
     print(f"\n| case | HNSW ref (M={M}, ef={EF}) | beam graph (same) "
           f"| IVF (nprobe=32) |")

@@ -16,9 +16,16 @@ the whole batch of queries advances in lockstep.
 BUILD (batched insertion, Vamana-flavored): nodes insert in batches; each
 batch beam-searches the current graph for its ef_construction nearest, then
 an ON-DEVICE alpha-pruning pass (greedy diversity rule over the candidates'
-pairwise distances, lax.scan) picks up to R diverse neighbors. Reverse edges
-go through a host-side edge table that tracks per-edge keys (worst-edge
-replacement), mirrored to the device incrementally — no full rebuild on add,
+pairwise distances, lax.scan) picks up to R diverse neighbors. Reverse
+edges (u->v implies a v->u backlink) are ALSO resolved on device: backlinks
+are grouped per target via sort + segment arithmetic and every touched row
+is re-pruned with the same alpha rule. The whole insert step — search,
+prune, forward write, reverse re-prune — is ONE jitted program, and a
+lax.scan folds several consecutive batches into a single dispatch, so a
+build through the ~30ms axon tunnel pays one round trip per K batches and
+ZERO per-batch D2H (round-1 build was host-synced per batch: 59 min for
+1M x 768D; this design is dispatch-amortized). The host graph mirror is
+materialized lazily (save/stats/native-interop). No full rebuild on add,
 fixing the reference's rebuild-every-add flaw
 (service/optimized_vector_store.py:110-113).
 """
@@ -187,13 +194,133 @@ def alpha_prune(queries, db, cand_ids, cand_keys, R: int, metric: str,
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
-def _write_graph_rows(graph, rows, offset):
-    return jax.lax.dynamic_update_slice(graph, rows, (offset, 0))
-
-
-@functools.partial(jax.jit, donate_argnums=(0,))
 def _scatter_graph_rows(graph, row_ids, rows):
     return graph.at[row_ids].set(rows)
+
+
+# ----------------------------------------------------- fused on-device build
+
+def _reverse_update(graph, ekeys, db, ids, n_ids, n_keys, sqnorms, *,
+                    M: int, R: int, metric: str, alpha: float,
+                    rev_extra: int, rev_chunk: int):
+    """Backlink resolution entirely on device. Each forward edge u->v (top-M
+    per node) asks v to reconsider its neighborhood; edges are grouped per
+    target v by sort + segment arithmetic (cumsum/cummax index math — no
+    host unique()), then every touched row re-runs alpha_prune over its
+    existing edges plus up to `rev_extra` new backlinks. The candidate keys
+    from the forward search double as backlink keys (symmetric metrics)."""
+    b = ids.shape[0]
+    e = b * M
+    cap = graph.shape[0]
+    us = jnp.repeat(ids, M)                          # (E,)
+    vs = n_ids[:, :M].reshape(-1)
+    ks = n_keys[:, :M].reshape(-1).astype(jnp.float32)
+    invalid = vs < 0
+    big = jnp.int32(2**31 - 1)
+    order = jnp.argsort(jnp.where(invalid, big, vs))  # stable: invalid last
+    vs_s, us_s, ks_s = vs[order], us[order], ks[order]
+    inv_s = invalid[order]
+
+    prev = jnp.concatenate([jnp.full((1,), -2, jnp.int32), vs_s[:-1]])
+    is_first = (vs_s != prev) & ~inv_s               # group leader flags
+    gidx = jnp.cumsum(is_first.astype(jnp.int32)) - 1  # group id per edge
+    pos = jnp.arange(e, dtype=jnp.int32)
+    seg_start = jax.lax.cummax(jnp.where(is_first, pos, -1))
+    rank = pos - seg_start                           # position within group
+
+    # unique targets, padded with -1 past the (dynamic) group count
+    uv = (jnp.full((e,), -1, jnp.int32)
+          .at[jnp.where(is_first, gidx, e)].set(vs_s, mode="drop"))
+    gidx_safe = jnp.where(~inv_s & (gidx >= 0), gidx, e)
+    extra_ids = (jnp.full((e, rev_extra), -1, jnp.int32)
+                 .at[gidx_safe, rank].set(us_s, mode="drop"))
+    extra_keys = (jnp.full((e, rev_extra), NEG_INF, jnp.float32)
+                  .at[gidx_safe, rank].set(ks_s, mode="drop"))
+
+    uv_safe = jnp.maximum(uv, 0)
+    nchunks = e // rev_chunk
+
+    def one_chunk(c):
+        cuv, ceids, cekeys = c
+        cand = jnp.concatenate([graph[cuv], ceids], axis=1)
+        candk = jnp.concatenate([ekeys[cuv], cekeys], axis=1)
+        bq = db[cuv].astype(jnp.float32)
+        return alpha_prune(bq, db, cand, candk, R, metric,
+                           sqnorms=sqnorms, alpha=alpha)
+
+    # chunked: alpha_prune materializes (rows, width, d) gathers; bound VMEM
+    new_ids, new_keys = jax.lax.map(
+        one_chunk,
+        (uv_safe.reshape(nchunks, rev_chunk),
+         extra_ids.reshape(nchunks, rev_chunk, rev_extra),
+         extra_keys.reshape(nchunks, rev_chunk, rev_extra)))
+    new_ids = new_ids.reshape(e, R)
+    new_keys = new_keys.reshape(e, R)
+    tgt = jnp.where(uv >= 0, uv, cap)                # pad rows -> dropped
+    graph = graph.at[tgt].set(new_ids, mode="drop")
+    ekeys = ekeys.at[tgt].set(new_keys, mode="drop")
+    return graph, ekeys
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("B", "R", "M", "efc", "iters", "metric", "alpha",
+                     "exclude_self", "rev_extra", "rev_chunk",
+                     "insert_mode"),
+    donate_argnums=(0, 1))
+def _device_insert_scan(graph, ekeys, db, starts, count0, entries, sqnorms,
+                        *, B: int, R: int, M: int, efc: int, iters: int,
+                        metric: str, alpha: float, exclude_self: bool,
+                        rev_extra: int, rev_chunk: int, insert_mode: bool):
+    """K = len(starts) consecutive insert (or refine) batches in ONE
+    dispatch. Carry is the donated (graph, ekeys) pair; nothing returns to
+    the host, so successive dispatches pipeline through JAX async dispatch.
+    insert_mode: searchable row count equals the batch start (rows before
+    this batch); refine searches the full count0."""
+
+    def body(carry, start):
+        graph, ekeys = carry
+        count = start if insert_mode else count0
+        ids = start + jnp.arange(B, dtype=jnp.int32)
+        queries = db[ids].astype(jnp.float32)
+        cand_ids, cand_keys = beam_search(
+            queries, db, graph, entries, count, k=efc, ef=efc,
+            beam_width=4, iters=iters, metric=metric, sqnorms=sqnorms)
+        if exclude_self:  # refine: a node must not choose itself; union
+            # with EXISTING edges (reverse edges carry the long-range links
+            # that keep distant clusters reachable — measured 0.90 -> 0.61
+            # recall without the union)
+            self_mask = cand_ids == ids[:, None]
+            cand_keys = jnp.where(self_mask, NEG_INF, cand_keys)
+            cand_ids = jnp.where(self_mask, -1, cand_ids)
+            cur_ids = jax.lax.dynamic_slice(graph, (start, 0), (B, R))
+            cur_keys = jax.lax.dynamic_slice(ekeys, (start, 0), (B, R))
+            dup = (cur_ids[:, :, None] == cand_ids[:, None, :]).any(-1)
+            cur_keys = jnp.where(dup | (cur_ids < 0), NEG_INF, cur_keys)
+            cur_ids = jnp.where(dup, -1, cur_ids)
+            cand_ids = jnp.concatenate([cand_ids, cur_ids], axis=1)
+            cand_keys = jnp.concatenate([cand_keys, cur_keys], axis=1)
+        n_ids, n_keys = alpha_prune(queries, db, cand_ids, cand_keys, R,
+                                    metric, sqnorms=sqnorms, alpha=alpha)
+        graph = jax.lax.dynamic_update_slice(graph, n_ids, (start, 0))
+        ekeys = jax.lax.dynamic_update_slice(ekeys, n_keys, (start, 0))
+        graph, ekeys = _reverse_update(
+            graph, ekeys, db, ids, n_ids, n_keys, sqnorms, M=M, R=R,
+            metric=metric, alpha=alpha, rev_extra=rev_extra,
+            rev_chunk=rev_chunk)
+        return (graph, ekeys), None
+
+    (graph, ekeys), _ = jax.lax.scan(body, (graph, ekeys), starts)
+    return graph, ekeys
+
+
+def _chunk_for(e: int, limit: int = 512) -> int:
+    """Largest divisor of e not exceeding limit (VMEM-bounding the reverse
+    re-prune's (chunk, width, d) gather)."""
+    c = min(e, limit)
+    while e % c:
+        c -= 1
+    return c
 
 
 # ------------------------------------------------------------------- index
@@ -221,6 +348,8 @@ class BeamGraphIndex:
         self._graph: np.ndarray | None = None      # (cap, R) int32, host
         self._edge_keys: np.ndarray | None = None  # (cap, R) f32, host
         self._graph_dev: jnp.ndarray | None = None
+        self._ekeys_dev: jnp.ndarray | None = None
+        self._host_dirty = False     # device is source of truth during build
         self._entries: np.ndarray | None = None
         self.build_time_s = 0.0
 
@@ -237,6 +366,7 @@ class BeamGraphIndex:
     def _ensure_cap(self, n: int) -> None:
         if self._graph is not None and self._cap >= n:
             return
+        self._materialize_host()
         cap = max(1024, self._cap or 1024)
         while cap < n:
             cap *= 2
@@ -247,6 +377,17 @@ class BeamGraphIndex:
             keys[: self._n] = self._edge_keys[: self._n]
         self._graph, self._edge_keys, self._cap = graph, keys, cap
         self._graph_dev = jnp.asarray(graph)
+        self._ekeys_dev = jnp.asarray(keys)
+
+    def _materialize_host(self) -> None:
+        """Pull the device graph back to the host mirror (one D2H; the build
+        loop itself never syncs). Required before save/stats/native
+        interop and before any capacity regrow."""
+        if not self._host_dirty:
+            return
+        self._graph = np.asarray(self._graph_dev)
+        self._edge_keys = np.asarray(self._ekeys_dev)
+        self._host_dirty = False
 
     def _entry_target(self) -> int:
         """Entry-point count scales with N (power-of-two bucketed so the
@@ -261,19 +402,33 @@ class BeamGraphIndex:
             bucket *= 2
         return bucket
 
+    # fixed entry-array width: beam_search masks ids < 0, so padding to a
+    # constant shape means entry-set growth NEVER recompiles the (large)
+    # fused build program or the serving search program — on axon a device
+    # compile costs minutes, so shape stability is a first-class concern
+    _ENTRY_PAD = 1024
+
     def _refresh_entries(self) -> None:
         n = max(self._n, 1)
         count = min(self._entry_target(), n)
         self._entries = np.unique(
             np.linspace(0, n - 1, count).astype(np.int32))
 
+    def _entries_padded(self) -> np.ndarray:
+        out = np.full((self._ENTRY_PAD,), -1, np.int32)
+        k = min(len(self._entries), self._ENTRY_PAD)
+        out[:k] = self._entries[:k]
+        return out
+
     def _sync_dev_rows(self, row_ids: np.ndarray) -> None:
-        """Mirror updated host rows to the device graph."""
+        """Mirror updated host rows (graph + edge keys) to the device."""
         if len(row_ids) == 0:
             return
-        rows = jnp.asarray(self._graph[row_ids])
+        ids_dev = jnp.asarray(row_ids)
         self._graph_dev = _scatter_graph_rows(
-            self._graph_dev, jnp.asarray(row_ids), rows)
+            self._graph_dev, ids_dev, jnp.asarray(self._graph[row_ids]))
+        self._ekeys_dev = _scatter_graph_rows(
+            self._ekeys_dev, ids_dev, jnp.asarray(self._edge_keys[row_ids]))
 
     # ----------------------------------------------------------------- build
 
@@ -288,6 +443,9 @@ class BeamGraphIndex:
         self._insert_range(db, 0, count, sqnorms)
         if refine_passes:
             self.refine(db, sqnorms=sqnorms, passes=refine_passes)
+        # one terminal D2H: true sync (block_until_ready under-reports
+        # through the axon tunnel), so build_time_s is honest
+        self._materialize_host()
         self.build_time_s = time.perf_counter() - t0
         logger.info("beam graph built: %d nodes in %.1fs (M=%d efc=%d)",
                     count, self.build_time_s, self.M, self.ef_construction)
@@ -334,6 +492,8 @@ class BeamGraphIndex:
         else:
             self._refresh_entries()
         self._graph_dev = jnp.asarray(self._graph)
+        self._ekeys_dev = jnp.asarray(self._edge_keys)
+        self._host_dirty = False
 
     def add(self, db, old_count: int, new_count: int, sqnorms=None) -> dict:
         """Incremental insertion of rows [old_count, new_count)."""
@@ -365,122 +525,105 @@ class BeamGraphIndex:
         while start < end:
             # batch ramps with graph size (inserting 512 nodes against a
             # 17-node graph would give them all bootstrap-only neighbors);
-            # power-of-two steps bound the number of jit variants
-            step = 32
-            while step * 2 <= min(self.batch_size, self._n):
-                step *= 2
-            bend = min(start + step, end)
-            batch_ids = np.arange(start, bend, dtype=np.int32)
-            self._insert_batch(db, batch_ids, sqnorms, exclude_self=False)
-            self._n = bend
+            # power-of-two steps bound the number of jit variants. Dispatch
+            # shapes are restricted to (ramp-size, K=1) and
+            # (batch_size, K=_SCAN_K): every distinct shape is a separate
+            # multi-minute device compile on axon.
+            step = self._ramp_step()
+            remaining = end - start
+            if remaining >= step:
+                kk = remaining // step
+                if 2 * step <= self.batch_size and self._n < 2 * step:
+                    kk = min(kk, max(1, (2 * step - self._n) // step))
+                kk = self._SCAN_K if kk >= self._SCAN_K else 1
+                starts = start + step * np.arange(kk, dtype=np.int32)
+                self._dispatch(db, starts, step, sqnorms,
+                               exclude_self=False, count0=None)
+                self._n = start + kk * step
+            elif remaining < 32 <= end:
+                # sub-32 tail: overlap-refine the last 32 rows instead of
+                # compiling a one-off exact-size program. Rows already in
+                # the graph are simply re-pruned (harmless); the new rows
+                # insert with self-exclusion.
+                self._n = end
+                self._dispatch(db, np.array([end - 32]), 32, sqnorms,
+                               exclude_self=True, count0=end)
+            elif remaining < 32:
+                # tiny graph (< 32 rows total): exact-size one-off; the
+                # program is small and compiles fast
+                self._dispatch(db, np.array([start]), remaining, sqnorms,
+                               exclude_self=False, count0=None)
+                self._n = end
+            else:
+                # tail between 32 and step: largest power-of-two chunk —
+                # reuses an already-compiled ramp shape
+                b = 32
+                while b * 2 <= remaining:
+                    b *= 2
+                self._dispatch(db, np.array([start]), b, sqnorms,
+                               exclude_self=False, count0=None)
+                self._n = start + b
             self._refresh_entries()  # routing set must track graph growth
-            start = bend
+            start = self._n
 
-    def _insert_batch(self, db, batch_ids: np.ndarray, sqnorms,
-                      exclude_self: bool) -> None:
-        """Search + alpha-prune + write rows + reverse edges for one batch."""
-        efc = self.ef_construction
-        ids_dev = jnp.asarray(batch_ids)
-        queries = db[ids_dev].astype(jnp.float32)
-        iters = max(efc // 4, 6)
-        cand_ids, cand_keys = beam_search(
-            queries, db, self._graph_dev,
-            jnp.asarray(self._entries), np.int32(self._n),
-            k=efc, ef=efc, beam_width=4, iters=iters,
-            metric=self.metric, sqnorms=sqnorms)
-        if exclude_self:  # refine pass: a node must not choose itself
-            self_mask = cand_ids == ids_dev[:, None]
-            cand_keys = jnp.where(self_mask, NEG_INF, cand_keys)
-            cand_ids = jnp.where(self_mask, -1, cand_ids)
-            # union with the node's EXISTING edges: reverse edges carry the
-            # long-range links that keep distant clusters reachable; a
-            # search-only candidate set would overwrite them with nearest
-            # neighbors and disconnect the graph (measured: refine without
-            # this dropped clustered recall 0.90 -> 0.61)
-            cur_ids = jnp.asarray(self._graph[batch_ids])       # (B, R)
-            cur_keys = jnp.asarray(self._edge_keys[batch_ids])
-            dup = (cur_ids[:, :, None] == cand_ids[:, None, :]).any(-1)
-            cur_keys = jnp.where(dup | (cur_ids < 0), NEG_INF, cur_keys)
-            cur_ids = jnp.where(dup, -1, cur_ids)
-            cand_ids = jnp.concatenate([cand_ids, cur_ids], axis=1)
-            cand_keys = jnp.concatenate([cand_keys, cur_keys], axis=1)
-        n_ids, n_keys = alpha_prune(
-            queries, db, cand_ids, cand_keys, self.R,
-            self.metric, sqnorms=sqnorms, alpha=self.alpha)
-        n_ids = np.asarray(n_ids)
-        n_keys = np.asarray(n_keys)
+    def _ramp_step(self) -> int:
+        step = 32
+        while step * 2 <= min(self.batch_size, self._n):
+            step *= 2
+        return step
 
-        self._graph[batch_ids] = n_ids
-        self._edge_keys[batch_ids] = n_keys
-        if (np.diff(batch_ids) == 1).all():
-            self._graph_dev = _write_graph_rows(
-                self._graph_dev, jnp.asarray(n_ids), int(batch_ids[0]))
-        else:
-            self._graph_dev = _scatter_graph_rows(
-                self._graph_dev, ids_dev, jnp.asarray(n_ids))
-        touched = self._reverse_edges(db, batch_ids, n_ids, n_keys, sqnorms)
-        self._sync_dev_rows(touched)
+    # batches folded per dispatch; the dominant build cost through the axon
+    # tunnel is the per-dispatch round trip, not device compute
+    _SCAN_K = 8
+    # extra backlink slots considered per row per batch before re-pruning
+    _REVERSE_EXTRA = 16
+
+    def _dispatch(self, db, starts: np.ndarray, batch: int, sqnorms,
+                  exclude_self: bool, count0: int | None) -> None:
+        """One device dispatch covering len(starts) consecutive batches of
+        `batch` rows each. No D2H: the device graph is the source of truth
+        until _materialize_host()."""
+        iters = max(self.ef_construction // 4, 6)
+        self._graph_dev, self._ekeys_dev = _device_insert_scan(
+            self._graph_dev, self._ekeys_dev, db,
+            jnp.asarray(np.asarray(starts, np.int32)),
+            np.int32(count0 or 0), jnp.asarray(self._entries_padded()),
+            sqnorms,
+            B=int(batch), R=self.R, M=self.M, efc=self.ef_construction,
+            iters=iters, metric=self.metric, alpha=self.alpha,
+            exclude_self=exclude_self, rev_extra=self._REVERSE_EXTRA,
+            rev_chunk=_chunk_for(int(batch) * self.M),
+            insert_mode=count0 is None)
+        self._host_dirty = True
 
     def refine(self, db, sqnorms=None, passes: int = 1) -> None:
         """Vamana-style improvement passes: every node re-searches the FULL
         graph and re-prunes its neighborhood. One pass typically lifts
-        recall several points over pure incremental insertion."""
+        recall several points over pure incremental insertion. Tail windows
+        overlap backwards (re-refining a few rows) so only power-of-two
+        batch shapes are ever compiled."""
+        n = self._n
+        if n < 2:
+            return
+        batch = 32
+        while batch * 2 <= min(self.batch_size, n):
+            batch *= 2
+        if n < 32:  # tiny graph: one exact-size window
+            batch = n
         for _ in range(passes):
-            for start in range(0, self._n, self.batch_size):
-                ids = np.arange(start, min(start + self.batch_size, self._n),
-                                dtype=np.int32)
-                self._insert_batch(db, ids, sqnorms, exclude_self=True)
-
-    # extra backlink slots considered per row per batch before re-pruning
-    _REVERSE_EXTRA = 16
-
-    def _reverse_edges(self, db, batch_ids, n_ids, n_keys,
-                       sqnorms) -> np.ndarray:
-        """u->v edges induce v->u backlinks; every touched row is RE-PRUNED
-        on device with the same alpha-diversity rule as forward edges
-        (HNSW's neighbor heuristic applied to backlinks — plain worst-edge
-        replacement measurably hurts recall). The candidate keys from the
-        search double as backlink keys (symmetric metrics), so no new
-        distance computations happen on the host."""
-        m = self.M
-        us = np.repeat(batch_ids, m)
-        vs = n_ids[:, :m].ravel()
-        ks = n_keys[:, :m].ravel()
-        keep = vs >= 0
-        us, vs, ks = us[keep], vs[keep], ks[keep].astype(np.float32)
-        if len(vs) == 0:
-            return np.empty((0,), np.int64)
-
-        order = np.argsort(vs, kind="stable")
-        us, vs, ks = us[order], vs[order], ks[order]
-        unique_vs, starts = np.unique(vs, return_index=True)
-        ends = np.append(starts[1:], len(vs))
-
-        width = self.R + self._REVERSE_EXTRA
-        n_rows = len(unique_vs)
-        # pad the row count to a power of two: unique_vs length is
-        # data-dependent and every distinct shape would recompile the prune
-        padded = 32
-        while padded < n_rows:
-            padded *= 2
-        cand_ids = np.full((padded, width), -1, np.int32)
-        cand_keys = np.full((padded, width), NEG_INF, np.float32)
-        cand_ids[:n_rows, : self.R] = self._graph[unique_vs]
-        cand_keys[:n_rows, : self.R] = self._edge_keys[unique_vs]
-        for i, (s, e) in enumerate(zip(starts, ends)):
-            extra = min(e - s, self._REVERSE_EXTRA)
-            cand_ids[i, self.R: self.R + extra] = us[s: s + extra]
-            cand_keys[i, self.R: self.R + extra] = ks[s: s + extra]
-
-        vs_padded = np.zeros((padded,), np.int32)
-        vs_padded[:n_rows] = unique_vs
-        new_ids, new_keys = alpha_prune(
-            db[jnp.asarray(vs_padded)].astype(jnp.float32), db,
-            jnp.asarray(cand_ids), jnp.asarray(cand_keys),
-            self.R, self.metric, sqnorms=sqnorms, alpha=self.alpha)
-        self._graph[unique_vs] = np.asarray(new_ids)[:n_rows]
-        self._edge_keys[unique_vs] = np.asarray(new_keys)[:n_rows]
-        return unique_vs.astype(np.int64)
+            start = 0
+            while start < n:
+                if n - start >= batch * self._SCAN_K:
+                    kk = self._SCAN_K
+                    starts = start + batch * np.arange(kk, dtype=np.int32)
+                    self._dispatch(db, starts, batch, sqnorms,
+                                   exclude_self=True, count0=n)
+                    start += kk * batch
+                else:
+                    s = min(start, n - batch)  # overlap-clamp the tail
+                    self._dispatch(db, np.array([s]), batch, sqnorms,
+                                   exclude_self=True, count0=n)
+                    start = s + batch
 
     # ---------------------------------------------------------------- search
 
@@ -499,7 +642,8 @@ class BeamGraphIndex:
         iters = max(ef // bw * 2, 8)
         ids, keys = beam_search(
             jnp.asarray(queries, jnp.float32), db, self._graph_dev,
-            jnp.asarray(self._entries), np.int32(min(self._n, count)),
+            jnp.asarray(self._entries_padded()),
+            np.int32(min(self._n, count)),
             k=k, ef=ef, beam_width=bw, iters=iters,
             metric=self.metric, sqnorms=sqnorms)
         return np.asarray(ids), np.asarray(keys)
@@ -509,6 +653,7 @@ class BeamGraphIndex:
     def save(self, directory: str | Path) -> None:
         if self._graph is None:
             return
+        self._materialize_host()
         atomic_save_npz(
             Path(directory) / GRAPH_FILE,
             graph=self._graph[: self._n],
@@ -541,6 +686,8 @@ class BeamGraphIndex:
             self._n = int(n)
             self._entries = entries.astype(np.int32)
             self._graph_dev = jnp.asarray(self._graph)
+            self._ekeys_dev = jnp.asarray(self._edge_keys)
+            self._host_dirty = False
             return True
         except Exception:  # noqa: BLE001 — corrupt graph -> rebuild
             logger.exception("corrupt ANN graph at %s; will rebuild", path)
@@ -549,6 +696,7 @@ class BeamGraphIndex:
     def get_stats(self) -> dict:
         degrees = None
         if self._graph is not None and self._n:
+            self._materialize_host()
             degrees = (self._graph[: self._n] >= 0).sum(axis=1)
         return {
             "type": "beam_graph",

@@ -48,8 +48,13 @@ def _ivf_kernel(sel_ref, fills_ref, q_ref, db_ref, vals_ref, pos_ref,
         best_vals[:] = jnp.full_like(best_vals, NEG_INF)
         best_pos[:] = jnp.zeros_like(best_pos)
 
-    q = q_ref[:]                                   # (1, d)
+    # whole query batch stays VMEM-resident; dynamic SUBLANE slice picks
+    # this step's row (a (1, d) per-query block would violate Mosaic's
+    # sublane-divisibility rule whenever Q > 1). The ref is kept float32:
+    # bf16 packs 2 rows per sublane and Mosaic then requires the dynamic
+    # row index to be provably even — f32 packs 1, so any index is legal.
     block = db_ref[0]                              # (Bc, d)
+    q = q_ref[pl.ds(qi, 1)].astype(block.dtype)    # (1, d)
     scores = jnp.dot(q, block.T, preferred_element_type=jnp.float32)
     b = sel_ref[qi, p]
     slot = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
@@ -78,8 +83,8 @@ def _ivf_kernel(sel_ref, fills_ref, q_ref, db_ref, vals_ref, pos_ref,
 
     @pl.when(p == n_probe - 1)
     def _emit():
-        vals_ref[:] = best_vals[:]
-        pos_ref[:] = best_pos[:]
+        vals_ref[pl.ds(qi, 1)] = best_vals[:]
+        pos_ref[pl.ds(qi, 1)] = best_pos[:]
 
 
 @functools.partial(jax.jit, static_argnames=("k", "interpret"))
@@ -93,22 +98,22 @@ def ivf_probe_topk_pallas(queries, db_buckets, bucket_ids, bucket_fills,
     q_n, d_pad = queries.shape
     nb, bc, _ = db_buckets.shape
     n_probe = sel.shape[1]
-    q = queries.astype(db_buckets.dtype)
+    q = queries.astype(jnp.float32)  # f32 VMEM residency: see _ivf_kernel
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(q_n, n_probe),
         in_specs=[
-            pl.BlockSpec((1, d_pad), lambda qi, p, s, f: (qi, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((q_n, d_pad), lambda qi, p, s, f: (0, 0),
+                         memory_space=pltpu.VMEM),   # queries: resident
             pl.BlockSpec((1, bc, d_pad), lambda qi, p, s, f: (s[qi, p], 0, 0),
                          memory_space=pltpu.VMEM),   # the probed bucket
         ],
         out_specs=[
-            pl.BlockSpec((1, k), lambda qi, p, s, f: (qi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k), lambda qi, p, s, f: (qi, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((q_n, k), lambda qi, p, s, f: (0, 0),
+                         memory_space=pltpu.VMEM),   # resident; row qi
+            pl.BlockSpec((q_n, k), lambda qi, p, s, f: (0, 0),
+                         memory_space=pltpu.VMEM),   # written at emit
         ],
         scratch_shapes=[
             pltpu.VMEM((1, k), jnp.float32),
