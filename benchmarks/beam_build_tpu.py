@@ -11,6 +11,7 @@ Target: 1M x 768D build < 15 min through the tunnel.
 Run: setsid nohup python benchmarks/beam_build_tpu.py > /tmp/beam_build.log 2>&1 &
 """
 
+import functools
 import sys
 import time
 
@@ -21,7 +22,6 @@ import numpy as np
 sys.path.insert(0, ".")
 
 from tpu_vector_db.index.beam_graph import BeamGraphIndex  # noqa: E402
-from tpu_vector_db.ops.pallas_scan import pallas_flat_topk  # noqa: E402
 
 
 def log(msg):
@@ -55,16 +55,56 @@ def run(n, d, batch_q=64, k=10, ef=100):
     build_s = time.perf_counter() - t0
     log(f"  BUILD {n}x{d}: {build_s:.1f}s ({stats})")
 
-    # recall vs exact ground truth on perturbed stored rows
+    # recall vs FLOAT32 exact ground truth on perturbed stored rows. The
+    # bf16 pallas GT is tie-ambiguous on tight clusters (at 300K+ the top
+    # ~1000 same-cluster scores sit within bf16 eps, so bf16 "top-10 ids"
+    # are arbitrary tie-breaks); score-recall counts a hit when the found
+    # neighbor's f32 score reaches the 10th-best f32 GT score.
     kq = jax.random.PRNGKey(7)
     qbase = db[:100].astype(jnp.float32)
     q = qbase + 0.05 * jax.random.normal(kq, qbase.shape, jnp.float32)
     q = q / jnp.maximum(jnp.linalg.norm(q, -1, keepdims=True), 1e-8)
-    _, gt_idx = pallas_flat_topk(q, db, np.int32(n), k, metric="cosine")
-    gt_idx = np.asarray(gt_idx)
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def f32_gt(q, db, ids, k):
+        sims = jnp.einsum("qd,nd->qn", q, db.astype(jnp.float32),
+                          preferred_element_type=jnp.float32)
+        gt_vals, gt_idx = jax.lax.top_k(sims, k)
+        found = jnp.take_along_axis(sims, jnp.maximum(ids, 0), axis=1)
+        return gt_idx, gt_vals[:, -1], found
+
     ids, _ = idx.search(q, db, n, k=k, ef_search=ef)
+    gt_idx, gt_kth, found = f32_gt(q, db[:n], jnp.asarray(ids), k)
+    gt_idx, gt_kth, found = (np.asarray(gt_idx), np.asarray(gt_kth),
+                             np.asarray(found))
     hits = sum(len(set(ids[i]) & set(gt_idx[i])) for i in range(len(q)))
-    log(f"  recall@{k} (ef={ef}): {hits / gt_idx.size:.4f}")
+    score_recall = float((found >= gt_kth[:, None] - 1e-5).mean())
+    log(f"  recall@{k} (ef={ef}): id={hits / gt_idx.size:.4f} "
+        f"score={score_recall:.4f}")
+
+    # chained search latency (batch 64), one terminal D2H
+    from tpu_vector_db.index.beam_graph import beam_search
+    qb = q[:64] if len(q) >= 64 else q
+    graph_dev, entries = idx._graph_dev, jnp.asarray(idx._entries_padded())
+    bw = 8
+    iters = max(ef // bw * 2, 8)
+
+    @jax.jit
+    def step(q, db, graph, entries, acc):
+        _, keys = beam_search(q, db, graph, entries, np.int32(n), k=k,
+                              ef=ef, beam_width=bw, iters=iters,
+                              metric="cosine")
+        return q + jnp.mean(keys) * 1e-6, acc + jnp.sum(keys)
+
+    qq, acc = step(qb, db, graph_dev, entries, jnp.float32(0))
+    float(acc)
+    t0 = time.perf_counter()
+    for _ in range(20):
+        qq, acc = step(qq, db, graph_dev, entries, acc)
+    float(acc)
+    dt = (time.perf_counter() - t0) / 20
+    log(f"  SEARCH b={len(qb)} ef={ef}: {dt * 1e3:.2f} ms/batch = "
+        f"{len(qb) / dt:.0f} QPS")
     del db, idx
 
 

@@ -251,3 +251,58 @@ class TestNativeBuilder:
         store.add_vectors(more)
         idx, _, _ = store.query(more[50], k=1)
         assert idx == [1550]
+
+
+class TestFusedBuildPaths:
+    """Round-2 device-resident build: lazy host mirror, odd-size tails,
+    overlap windows (index/beam_graph.py:_insert_range / refine)."""
+
+    def test_host_mirror_matches_device(self, rng):
+        n, d = 500, 16
+        db = prepare(rng.standard_normal((n, d)).astype(np.float32),
+                     "cosine")
+        idx = BeamGraphIndex(dim=d, metric="cosine", M=4,
+                             ef_construction=32, batch_size=64)
+        idx.build(db, n)
+        # build() materializes; mirror must equal device copy exactly
+        assert (np.asarray(idx._graph_dev) == idx._graph).all()
+        assert np.array_equal(np.asarray(idx._ekeys_dev), idx._edge_keys,
+                              equal_nan=True)
+
+    @pytest.mark.parametrize("n", [33, 40, 95, 257, 300])
+    def test_odd_sizes_connected(self, rng, n):
+        # exercises bootstrap-only, sub-32 overlap tail, pow2 tail chunks
+        d = 16
+        db = prepare(rng.standard_normal((max(n, 64), d))
+                     .astype(np.float32), "cosine")
+        idx = BeamGraphIndex(dim=d, metric="cosine", M=4,
+                             ef_construction=32, batch_size=64)
+        idx.build(db, n)
+        assert idx.size == n
+        g = idx._graph[:n]
+        assert (g >= 0).any(axis=1).all(), "every node needs an edge"
+        assert (g < n).all(), "no edge may point past the built range"
+        ids, _ = idx.search(db[:n].astype(jnp.float32), db, n, k=1,
+                            ef_search=32)
+        assert (ids[:, 0] >= 0).all()
+
+    def test_add_after_reload_keeps_graph(self, rng, tmp_path):
+        n, d = 300, 16
+        x = rng.standard_normal((n + 64, d)).astype(np.float32)
+        db = prepare(x, "cosine")
+        idx = BeamGraphIndex(dim=d, metric="cosine", M=4,
+                             ef_construction=32, batch_size=64)
+        idx.build(db, n)
+        idx.save(tmp_path)
+
+        idx2 = BeamGraphIndex(dim=d, metric="cosine", M=4,
+                              ef_construction=32, batch_size=64)
+        assert idx2.load(tmp_path)
+        idx2.add(db, n, n + 64)
+        assert idx2.size == n + 64
+        # stats path must materialize the dirty host mirror, not crash
+        st = idx2.get_stats()
+        assert st["nodes"] == n + 64 and st["avg_degree"] > 0
+        ids, _ = idx2.search(db[n: n + 8].astype(jnp.float32), db,
+                             n + 64, k=1, ef_search=32)
+        assert (ids[:, 0] >= 0).all()
