@@ -36,7 +36,7 @@ def make_clustered(n, d, centers, key, dtype=jnp.bfloat16):
         mu = jax.random.normal(kc, (centers, d), jnp.float32)
         pick = jax.random.randint(kp, (n,), 0, centers)
         x = mu[pick] + 0.15 * jax.random.normal(kn, (n, d), jnp.float32)
-        x = x / jnp.maximum(jnp.linalg.norm(x, -1, keepdims=True), 1e-8)
+        x = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-8)
         return x.astype(dtype)
 
     return gen(kc, kp, kn)
@@ -63,7 +63,7 @@ def run(n, d, batch_q=64, k=10, ef=100):
     kq = jax.random.PRNGKey(7)
     qbase = db[:100].astype(jnp.float32)
     q = qbase + 0.05 * jax.random.normal(kq, qbase.shape, jnp.float32)
-    q = q / jnp.maximum(jnp.linalg.norm(q, -1, keepdims=True), 1e-8)
+    q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-8)
 
     @functools.partial(jax.jit, static_argnames=("k",))
     def f32_gt(q, db, ids, k):

@@ -35,7 +35,7 @@ def make_clustered(n, d, centers, key, dtype=jnp.bfloat16):
         mu = jax.random.normal(kc, (centers, d), jnp.float32)
         pick = jax.random.randint(kp, (n,), 0, centers)
         x = mu[pick] + 0.15 * jax.random.normal(kn, (n, d), jnp.float32)
-        x = x / jnp.maximum(jnp.linalg.norm(x, -1, keepdims=True), 1e-8)
+        x = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-8)
         return x.astype(dtype)
 
     return gen(kc, kp, kn)
@@ -52,9 +52,16 @@ def main():
     kq = jax.random.PRNGKey(7)
     qbase = db[:batch].astype(jnp.float32)
     q = qbase + 0.05 * jax.random.normal(kq, qbase.shape, jnp.float32)
-    q = q / jnp.maximum(jnp.linalg.norm(q, -1, keepdims=True), 1e-8)
+    q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-8)
     gt_vals, gt_idx = pallas_flat_topk(q, db, np.int32(n), k, metric="cosine")
     gt_idx = np.asarray(gt_idx)
+    gt_kth = np.asarray(gt_vals, np.float32)[:, -1]
+
+    @jax.jit
+    def f32_found(q, db, ids):  # tie-robust: f32 scores of returned ids
+        rows = db[jnp.maximum(ids, 0)].astype(jnp.float32)
+        return jnp.einsum("qd,qkd->qk", q, rows,
+                          preferred_element_type=jnp.float32)
 
     # flat timing baseline
     @jax.jit
@@ -71,7 +78,7 @@ def main():
     flat_ms = (time.perf_counter() - t0) / 20 * 1e3
     log(f"flat: {flat_ms:.2f} ms/batch ({batch / flat_ms * 1e3:.0f} QPS)")
 
-    for n_clusters in (4096, 8192):
+    for n_clusters in (8192, 16384):
         idx = IVFIndex(dim=d, metric="cosine", n_clusters=n_clusters,
                        nprobe=64, train_iters=10)
         t0 = time.perf_counter()
@@ -88,6 +95,9 @@ def main():
             hits = sum(len(set(ids[i]) & set(gt_idx[i]))
                        for i in range(batch))
             recall = hits / (batch * k)
+            found = np.asarray(f32_found(q, db, jnp.asarray(ids)))
+            srecall = float(
+                ((found >= gt_kth[:, None] - 0.004) & (ids >= 0)).mean())
 
             @jax.jit
             def step(q, buckets, ids_dev, fills, cents, bclust, csq, acc,
@@ -107,6 +117,7 @@ def main():
             dt = (time.perf_counter() - t0) / 20 * 1e3
             log(f"  RESULT C={n_clusters} nprobe={nprobe}: {dt:.2f} ms "
                 f"({batch / dt * 1e3:.0f} QPS) recall@{k}={recall:.4f} "
+                f"score_recall={srecall:.4f} "
                 f"speedup_vs_flat={flat_ms / dt:.2f}x")
         del idx, dev, args
     log("done")

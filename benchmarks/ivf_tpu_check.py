@@ -39,7 +39,7 @@ def make_clustered(n_pad, d, centers, key, dtype=jnp.bfloat16):
         mu = jax.random.normal(kc, (centers, d), jnp.float32)
         pick = jax.random.randint(kp, (n_pad,), 0, centers)
         x = mu[pick] + 0.15 * jax.random.normal(kn, (n_pad, d), jnp.float32)
-        x = x / jnp.maximum(jnp.linalg.norm(x, -1, keepdims=True), 1e-8)
+        x = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-8)
         return x.astype(dtype)
 
     return gen(kc, kp, kn)
@@ -65,7 +65,7 @@ def run_config(n, d, batch, k, nprobe, n_clusters, iters=40):
     kq = jax.random.PRNGKey(7)
     qbase = db[:batch].astype(jnp.float32)
     q = qbase + 0.05 * jax.random.normal(kq, qbase.shape, jnp.float32)
-    q = q / jnp.maximum(jnp.linalg.norm(q, -1, keepdims=True), 1e-8)
+    q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-8)
 
     # ground truth from the exact fused scan
     gt_vals, gt_idx = pallas_flat_topk(q, db, np.int32(n), k,

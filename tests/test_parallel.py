@@ -290,3 +290,63 @@ class TestShardedANN:
         for probe in (added - 5, added - 100, 40):
             idx, scores, _ = store.query(vecs[probe], k=1)
             assert idx == [probe], (probe, idx)
+
+
+class TestShardedIVF:
+    """parallel/sharded_ivf.py: per-shard quantizers + ICI merge."""
+
+    def _mk_data(self, rng, n, d, centers=16):
+        mu = rng.standard_normal((centers, d)).astype(np.float32) * 3
+        x = (mu[rng.integers(0, centers, n)]
+             + 0.2 * rng.standard_normal((n, d))).astype(np.float32)
+        return x
+
+    def test_full_probe_equals_flat(self, mesh, rng):
+        """nprobe >= all buckets makes the probe scan exhaustive: the
+        merged sharded-IVF top-k must equal the exact sharded scan."""
+        from tpu_vector_db.parallel.sharded_ivf import ShardedIVF
+        n, d, k, cap = 600, 24, 10, 1024
+        x = self._mk_data(rng, n, d)
+        ivf = ShardedIVF(dim=d, metric="cosine", mesh=mesh, nprobe=512,
+                         n_clusters=4, bucket_rows=64,
+                         storage_dtype=jnp.float32)
+        ivf.build(x, n, cap)
+        q = x[:7] / np.linalg.norm(x[:7], axis=1, keepdims=True)
+        qj = jnp.asarray(D.pad_dim(jnp.asarray(q)))
+        fn = ivf.make_search_fn(k, nprobe=ivf._nb_pad, with_sqnorms=False)
+        keys, gids = fn(qj, *ivf.search_args())
+        keys, gids = np.asarray(keys), np.asarray(gids)
+
+        xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+        exact = np.argsort(-(q @ xn.T), axis=1)[:, :k]
+        for i in range(len(q)):
+            assert set(gids[i]) == set(exact[i]), (
+                f"query {i}: {sorted(gids[i])} != {sorted(exact[i])}")
+
+    def test_store_integration_and_incremental(self, tmp_path, rng):
+        n, d = 500, 24
+        x = self._mk_data(rng, n, d)
+        store = ShardedVectorStore(
+            tmp_path / "sivf",
+            VectorStoreConfig(dimension=d, metric="cosine",
+                              enable_ann=True,
+                              ann_params={"index_type": "ivf",
+                                          "min_rows": 0, "nprobe": 64,
+                                          "n_clusters": 4,
+                                          "bucket_rows": 64,
+                                          "self_check": False}),
+            mesh=make_device_mesh(8))
+        store.add_vectors(x[:400])
+        from tpu_vector_db.parallel.sharded_ivf import ShardedIVF
+        assert isinstance(store._ann, ShardedIVF)
+        ids, scores, _ = store.query(x[5], k=3)
+        assert ids[0] == 5 and scores[0] > 0.99
+
+        # incremental add extends in place (no rebuild of the quantizers)
+        subs_before = store._ann._subs
+        r = store._ann  # same object must survive the add
+        store.add_vectors(x[400:])
+        assert store._ann is r and store._ann._subs is subs_before
+        assert store._ann.size == n
+        ids, _, _ = store.query(x[450], k=3)
+        assert 450 in list(ids)

@@ -24,7 +24,11 @@ Layer map (see SURVEY.md for the reference analysis this build targets):
 
 __version__ = "0.1.0"
 
-from tpu_vector_db.store.config import VectorStoreConfig  # noqa: F401
+from tpu_vector_db.core.runtime import setup_runtime as _setup_runtime
+
+_setup_runtime()
+
+from tpu_vector_db.store.config import VectorStoreConfig  # noqa: F401,E402
 from tpu_vector_db.store.vector_store import (  # noqa: F401
     TPUVectorStore,
     create_vector_store,

@@ -198,13 +198,17 @@ class ShardedVectorStore(TPUVectorStore):
     # ------------------------------------------------------------------ ANN
 
     def _refresh_ann(self, incremental_from=None) -> None:
-        """Per-shard subgraphs (parallel/sharded_ann.py). Appends EXTEND the
-        existing subgraphs via the native builder's incremental insert
-        (O(batch * ef)); a full rebuild happens only on first build or when
-        capacity growth re-partitions the shard row ranges. Requires the
+        """Per-shard subgraphs (parallel/sharded_ann.py) or per-shard IVF
+        quantizers (parallel/sharded_ivf.py), per ann_params.index_type.
+        Appends EXTEND the existing structures (O(batch) per shard); a full
+        rebuild happens only on first build or when capacity growth
+        re-partitions the shard row ranges. The graph family requires the
         native builder; degrades to the sharded flat scan otherwise."""
         from tpu_vector_db.index import native
         if self._count == 0:
+            return
+        if self.config.ann_params.get("index_type") == "ivf":
+            self._refresh_sharded_ivf(incremental_from)
             return
         if not native.available():
             logger.warning("sharded ANN needs the native builder; "
@@ -228,25 +232,61 @@ class ShardedVectorStore(TPUVectorStore):
         self._ann_stale = False
         self._ann_fns = _CompiledFnCache()
 
+    def _refresh_sharded_ivf(self, incremental_from=None) -> None:
+        from tpu_vector_db.parallel.sharded_ivf import ShardedIVF
+        p = self.config.ann_params
+        if (isinstance(self._ann, ShardedIVF) and incremental_from
+                and self._ann.size == incremental_from
+                and self._ann._rows_per_shard == self._cap // self._n_dev):
+            self._ann.add(self._host_buf, incremental_from, self._count)
+            self._ann_stale = False
+            return
+        dtype = (jnp.bfloat16 if self.config.storage_dtype == "bfloat16"
+                 else jnp.float32)
+        self._ann = ShardedIVF(
+            dim=self.config.dimension, metric=self.metric, mesh=self.mesh,
+            nprobe=p.get("nprobe", 32),
+            n_clusters=p.get("n_clusters"),
+            bucket_rows=p.get("bucket_rows"),
+            train_iters=p.get("train_iters", 10),
+            storage_dtype=dtype)
+        self._ann.build(self._host_buf, self._count, self._cap)
+        self._ann_stale = False
+        self._ann_fns = _CompiledFnCache()
+
     def _ann_batch_query(self, arr: np.ndarray, k: int,
                          filter_metadata: dict | None):
+        from tpu_vector_db.parallel.sharded_ivf import ShardedIVF
         from tpu_vector_db.store.vector_store import metadata_matches
-        ef = self.config.ann_params.get("ef_search", 100)
+        p = self.config.ann_params
         fetch_k = min(self._count, k * 10) if filter_metadata else k
-        key = (fetch_k, max(ef, fetch_k), self._cap)
-        fn = self._ann_fns.get(key)
-        if fn is None:
-            fn = self._ann.make_search_fn(
-                fetch_k, max(ef, fetch_k),
-                with_sqnorms=(self._sqnorms is not None))
-            self._ann_fns.put(key, fn)
         q = jax.device_put(self._prepare_queries(arr), self._replicated)
-        count = jax.device_put(jnp.int32(self._count), self._replicated)
-        args = [q, self._db, count, self._ann._graph_dev,
-                self._ann._entries_dev]
-        if self._sqnorms is not None:
-            args.append(self._sqnorms)
-        keys, labels = fn(*args)
+        if isinstance(self._ann, ShardedIVF):
+            nprobe = p.get("nprobe", 32)
+            key = ("ivf", fetch_k, nprobe, self._cap)
+            fn = self._ann_fns.get(key)
+            if fn is None:
+                fn = self._ann.make_search_fn(
+                    fetch_k, nprobe,
+                    with_sqnorms=(self.metric == "euclidean"))
+                self._ann_fns.put(key, fn)
+            keys, labels = fn(q, *self._ann.search_args())
+        else:
+            ef = p.get("ef_search", 100)
+            key = (fetch_k, max(ef, fetch_k), self._cap)
+            fn = self._ann_fns.get(key)
+            if fn is None:
+                fn = self._ann.make_search_fn(
+                    fetch_k, max(ef, fetch_k),
+                    with_sqnorms=(self._sqnorms is not None))
+                self._ann_fns.put(key, fn)
+            count = jax.device_put(jnp.int32(self._count),
+                                   self._replicated)
+            args = [q, self._db, count, self._ann._graph_dev,
+                    self._ann._entries_dev]
+            if self._sqnorms is not None:
+                args.append(self._sqnorms)
+            keys, labels = fn(*args)
         keys, labels = np.asarray(keys), np.asarray(labels)
         out = []
         for row_keys, row_labels in zip(keys, labels):
