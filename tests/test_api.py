@@ -313,3 +313,40 @@ def test_jwt_roundtrip():
     assert verify_jwt(token + "x") is None
     expired = create_jwt({"sub": "u"}, expires_in_s=-10)
     assert verify_jwt(expired) is None
+
+
+def test_create_ivf_store_via_rest(client_factory, rng):
+    """index_type=ivf provisions the IVF family end-to-end through the
+    admin route (api/routes/admin.py) — ref parity plus: the reference
+    only exposed hnsw/flat (api/routes/admin.py vs ref main.py)."""
+    async def go():
+        async with client_factory() as client:
+            r = await client.post("/admin/create_store", headers=ADMIN, json={
+                "user_id": "ivy", "model_id": "m1", "dimension": 32,
+                "index_type": "ivf",
+                "ann_params": {"min_rows": 0, "nprobe": 16,
+                               "n_clusters": 4, "bucket_rows": 64,
+                               "self_check": False}})
+            assert r.status == 201
+
+            vectors = rng.standard_normal((200, 32)).astype(np.float32)
+            r = await client.post("/vectors/add", headers=AUTH, json={
+                "user_id": "ivy", "model_id": "m1",
+                "vectors": vectors.tolist()})
+            assert r.status == 200
+
+            r = await client.post("/vectors/query", headers=AUTH, json={
+                "user_id": "ivy", "model_id": "m1",
+                "query": vectors[3].tolist(), "k": 3})
+            assert r.status == 200
+            body = await r.json()
+            assert body["results"][0]["index"] == 3
+
+            r = await client.get("/admin/store/stats",
+                                 params={"user_id": "ivy",
+                                         "model_id": "m1"},
+                                 headers=ADMIN)
+            stats = await r.json()
+            assert stats.get("index", {}).get("type", "ivf") in (
+                "ivf", "flat")
+    run(go())

@@ -23,8 +23,9 @@ class MetricType(str, Enum):
 
 class IndexType(str, Enum):
     flat = "flat"
-    beam_graph = "beam_graph"   # the TPU ANN index (HNSW-class)
+    beam_graph = "beam_graph"   # the TPU ANN graph index (HNSW-class)
     hnsw = "hnsw"               # accepted alias for reference compatibility
+    ivf = "ivf"                 # k-means + bucket-streamed probe scan
 
 
 class VectorAddRequest(BaseModel):

@@ -32,12 +32,15 @@ def register(app: web.Application) -> None:
 async def create_store(request: web.Request) -> web.Response:
     body = await parse_model(request, CreateStoreRequest)
     manager = request.app["manager"]
+    ann_params = dict(body.ann_params or VectorStoreConfig().ann_params)
+    if body.index_type.value == "ivf":
+        ann_params.setdefault("index_type", "ivf")
     cfg = VectorStoreConfig(
         dimension=body.dimension,
         metric=body.metric.value,
-        enable_ann=(body.index_type.value in ("beam_graph", "hnsw")),
+        enable_ann=(body.index_type.value in ("beam_graph", "hnsw", "ivf")),
         storage_dtype=body.storage_dtype,
-        ann_params=body.ann_params or VectorStoreConfig().ann_params,
+        ann_params=ann_params,
     )
     try:
         store = manager.create_store(body.user_id, body.model_id, cfg)
