@@ -350,3 +350,47 @@ def test_create_ivf_store_via_rest(client_factory, rng):
             assert stats.get("index", {}).get("type", "ivf") in (
                 "ivf", "flat")
     run(go())
+
+
+def test_query_coalescing(client_factory, rng, monkeypatch):
+    """Concurrent single-vector queries fold into shared device batches
+    (service/batcher.py) without changing any result."""
+    async def go():
+        async with client_factory() as client:
+            app = client.server.app
+            from tpu_vector_db.service.batcher import QueryCoalescer
+            app["coalescer"] = QueryCoalescer(app["manager"],
+                                              window_ms=20, max_batch=32)
+            r = await client.post("/admin/create_store", headers=ADMIN, json={
+                "user_id": "co", "model_id": "m1", "dimension": 32})
+            assert r.status == 201
+            vectors = rng.standard_normal((64, 32)).astype(np.float32)
+            r = await client.post("/vectors/add", headers=AUTH, json={
+                "user_id": "co", "model_id": "m1",
+                "vectors": vectors.tolist()})
+            assert r.status == 200
+
+            calls = []
+            orig = app["manager"].batch_query_async
+
+            async def counting(*a, **kw):
+                calls.append(len(a[2]))
+                return await orig(*a, **kw)
+
+            monkeypatch.setattr(app["manager"], "batch_query_async",
+                                counting)
+
+            async def one(i):
+                r = await client.post("/vectors/query", headers=AUTH, json={
+                    "user_id": "co", "model_id": "m1",
+                    "query": vectors[i].tolist(), "k": 1})
+                assert r.status == 200
+                body = await r.json()
+                return body["results"][0]["index"]
+
+            results = await asyncio.gather(*[one(i) for i in range(16)])
+            assert list(results) == list(range(16))  # each finds itself
+            assert sum(calls) == 16
+            assert len(calls) < 16, f"no coalescing happened: {calls}"
+            assert app["coalescer"].coalesced > 0
+    run(go())

@@ -183,6 +183,8 @@ def create_app(manager: VectorStoreManager | None = None,
         client_max_size=512 * 2**20)  # bulk uploads
 
     app["manager"] = manager or VectorStoreManager()
+    from tpu_vector_db.service.batcher import QueryCoalescer
+    app["coalescer"] = QueryCoalescer.from_env(app["manager"])
     app["rate_limiter"] = ProductionRateLimiter(redis_url)
     app["health_checker"] = HealthChecker()
     app["request_stats"] = RequestStats()

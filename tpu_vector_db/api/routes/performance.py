@@ -81,6 +81,9 @@ async def stats(request: web.Request) -> web.Response:
     user_id = request.query.get("user_id")
     model_id = request.query.get("model_id")
     body = {"kernels": performance_monitor.get_stats()}
+    coalescer = request.app.get("coalescer")
+    if coalescer is not None:
+        body["coalescer"] = coalescer.get_stats()
     if user_id and model_id:
         store = request.app["manager"].get_store(user_id, model_id,
                                                  create=False)

@@ -50,10 +50,21 @@ async def add_vectors(request: web.Request) -> web.Response:
 async def query_vectors(request: web.Request) -> web.Response:
     body = await parse_model(request, VectorQueryRequest)
     manager = request.app["manager"]
+    coalescer = request.app.get("coalescer")
     t0 = time.perf_counter()
-    indices, scores, metadata = await manager.query_async(
-        body.user_id, body.model_id, np.asarray(body.query, np.float32),
-        k=body.k, filter_metadata=body.filter_metadata, use_ann=body.use_ann)
+    if coalescer is not None:
+        # concurrent same-store queries fold into one device batch
+        # (service/batcher.py) — the batch-1 kernel floor becomes the
+        # batch-64 roofline under load
+        indices, scores, metadata = await coalescer.query(
+            body.user_id, body.model_id,
+            np.asarray(body.query, np.float32), k=body.k,
+            filter_metadata=body.filter_metadata, use_ann=body.use_ann)
+    else:
+        indices, scores, metadata = await manager.query_async(
+            body.user_id, body.model_id,
+            np.asarray(body.query, np.float32), k=body.k,
+            filter_metadata=body.filter_metadata, use_ann=body.use_ann)
     dt = time.perf_counter() - t0
     record_vector_query(dt)
     store = manager.get_store(body.user_id, body.model_id, create=False)
