@@ -350,3 +350,16 @@ class TestShardedIVF:
         assert store._ann.size == n
         ids, _, _ = store.query(x[450], k=3)
         assert 450 in list(ids)
+
+
+def test_sharded_int8_storage(tmp_path, rng):
+    """int8 capacity mode works through the sharded scan + merge."""
+    x = rng.standard_normal((400, 32)).astype(np.float32)
+    store = ShardedVectorStore(
+        tmp_path / "i8s",
+        VectorStoreConfig(dimension=32, metric="cosine",
+                          storage_dtype="int8", persist_mode="off"),
+        mesh=make_device_mesh(8))
+    store.add_vectors(x)
+    ids, scores, _ = store.query(x[9], k=3)
+    assert ids[0] == 9 and 0.99 < scores[0] <= 1.0

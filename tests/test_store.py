@@ -207,3 +207,63 @@ class TestOps:
         idx, scores, _ = store.query(vecs[9], k=1)
         assert idx == [9]
         assert scores[0] > 0.99   # bf16 tolerance
+
+
+class TestInt8Storage:
+    """storage_dtype='int8': 4x capacity vs f32 for the exact cosine
+    engine (fixed-127 quantizer on unit-norm rows, store/config.py)."""
+
+    def test_query_quality_and_scale(self, tmp_path, rng):
+        x = rng.standard_normal((500, 48)).astype(np.float32)
+        s8 = TPUVectorStore(tmp_path / "i8", VectorStoreConfig(
+            dimension=48, metric="cosine", storage_dtype="int8",
+            persist_mode="off"))
+        s8.add_vectors(x)
+        ids, scores, _ = s8.query(x[7], k=5)
+        assert ids[0] == 7
+        assert scores[0] > 0.99  # descaled into true cosine range
+        assert all(-1.0 <= s <= 1.0 for s in scores)
+
+        # top-10 agreement vs the f32 store (int8 rounding can swap only
+        # near-ties)
+        sf = TPUVectorStore(tmp_path / "f32", VectorStoreConfig(
+            dimension=48, metric="cosine", persist_mode="off"))
+        sf.add_vectors(x)
+        agree = 0
+        for i in range(20):
+            a, _, _ = s8.query(x[i], k=10)
+            b, _, _ = sf.query(x[i], k=10)
+            agree += len(set(a) & set(b))
+        assert agree / 200 > 0.9
+
+    def test_capacity_accounting(self, tmp_path, rng):
+        s8 = TPUVectorStore(tmp_path / "i8c", VectorStoreConfig(
+            dimension=128, metric="cosine", storage_dtype="int8",
+            persist_mode="off"))
+        s8.add_vectors(rng.standard_normal((100, 128)).astype(np.float32))
+        sf = TPUVectorStore(tmp_path / "f32c", VectorStoreConfig(
+            dimension=128, metric="cosine", persist_mode="off"))
+        sf.add_vectors(rng.standard_normal((100, 128)).astype(np.float32))
+        m8 = s8.get_stats()["memory_usage_mb"]
+        mf = sf.get_stats()["memory_usage_mb"]
+        assert m8 < mf  # device side is 4x smaller
+
+    def test_config_guards(self):
+        with pytest.raises(ValueError):
+            VectorStoreConfig(dimension=8, metric="euclidean",
+                              storage_dtype="int8")
+        with pytest.raises(ValueError):
+            VectorStoreConfig(dimension=8, metric="cosine",
+                              storage_dtype="int8", enable_ann=True)
+
+    def test_persistence_roundtrip(self, tmp_path, rng):
+        x = rng.standard_normal((300, 32)).astype(np.float32)
+        cfg = VectorStoreConfig(dimension=32, metric="cosine",
+                                storage_dtype="int8")
+        s = TPUVectorStore(tmp_path / "p", cfg)
+        s.add_vectors(x)
+        s.flush()
+        s2 = TPUVectorStore(tmp_path / "p")  # config from manifest
+        assert s2.get_stats()["storage_dtype"] == "int8"
+        ids, scores, _ = s2.query(x[11], k=1)
+        assert ids[0] == 11 and scores[0] > 0.99

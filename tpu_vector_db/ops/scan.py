@@ -60,8 +60,11 @@ def flat_scan_topk(
         db_normalized = True
     qn = distance.l2_normalize(queries) if metric == "cosine" else queries
     # score in the storage dtype (bf16 storage => bf16 MXU passes, f32
-    # accumulation): mixed f32xbf16 inputs silently upcast to f32 matmuls
-    qn = qn.astype(db.dtype)
+    # accumulation): mixed f32xbf16 inputs silently upcast to f32 matmuls.
+    # int8 storage keeps f32 queries (casting unit-norm queries to int8
+    # would floor them to zero); XLA upcasts the int8 operand instead.
+    if db.dtype != jnp.int8:
+        qn = qn.astype(db.dtype)
 
     def block_scores(db_block, sq_block):
         if metric == "cosine":

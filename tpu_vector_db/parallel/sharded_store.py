@@ -92,7 +92,7 @@ class ShardedVectorStore(TPUVectorStore):
         if self._count:
             prepared = self._prepare_block(self._host_buf[: self._count])
             host[: self._count] = np.asarray(prepared, np.float32)
-        dtype = jnp.bfloat16 if self.config.storage_dtype == "bfloat16" else jnp.float32
+        dtype = self._dtype
         self._db = jax.device_put(jnp.asarray(host, dtype), self._row_sharding)
         if self.metric == "euclidean":
             sq = np.zeros((capacity,), np.float32)
@@ -150,8 +150,7 @@ class ShardedVectorStore(TPUVectorStore):
             rows *= 2
         block = np.zeros((rows, self._d_pad), np.float32)
         block[:n] = np.asarray(self._prepare_block(arr), np.float32)
-        dtype = (jnp.bfloat16 if self.config.storage_dtype == "bfloat16"
-                 else jnp.float32)
+        dtype = self._dtype
         blk = jax.device_put(jnp.asarray(block, dtype), self._replicated)
         self._db = self._get_write_fn(rows, 2)(
             self._db, blk, jnp.int32(offset))
@@ -241,8 +240,7 @@ class ShardedVectorStore(TPUVectorStore):
             self._ann.add(self._host_buf, incremental_from, self._count)
             self._ann_stale = False
             return
-        dtype = (jnp.bfloat16 if self.config.storage_dtype == "bfloat16"
-                 else jnp.float32)
+        dtype = self._dtype
         self._ann = ShardedIVF(
             dim=self.config.dimension, metric=self.metric, mesh=self.mesh,
             nprobe=p.get("nprobe", 32),
@@ -340,7 +338,10 @@ class ShardedVectorStore(TPUVectorStore):
         if filter_mask is not None:
             args.append(filter_mask)
         keys, idx = fn(*args)
-        return np.asarray(keys), np.asarray(idx)
+        keys = np.asarray(keys)
+        if self._dtype == jnp.int8:
+            keys = keys * (1.0 / 127.0)  # undo the fixed quantizer scale
+        return keys, np.asarray(idx)
 
     def get_stats(self) -> dict:
         stats = super().get_stats()

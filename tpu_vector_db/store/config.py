@@ -12,7 +12,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field, asdict
 
 VALID_METRICS = ("cosine", "euclidean", "dot_product")
-VALID_DTYPES = ("float32", "bfloat16")
+VALID_DTYPES = ("float32", "bfloat16", "int8")
 VALID_PERSIST = ("sync", "lazy", "off")
 
 
@@ -53,6 +53,21 @@ class VectorStoreConfig:
             raise ValueError(
                 f"persist_mode must be one of {VALID_PERSIST}, got "
                 f"{self.persist_mode!r}")
+        if self.storage_dtype == "int8":
+            # int8 is a CAPACITY mode for the exact engine: rows are
+            # unit-norm so a fixed 127 scale quantizes without per-row
+            # scale streams. Cosine-only (euclidean/dot rows are
+            # unnormalized) and exact-only (index structures score
+            # through their own gathers).
+            if self.metric != "cosine":
+                raise ValueError(
+                    "storage_dtype='int8' requires metric='cosine' "
+                    "(rows must be unit-norm for the fixed-scale "
+                    "quantizer)")
+            if self.enable_ann:
+                raise ValueError(
+                    "storage_dtype='int8' supports the exact engine only "
+                    "(disable ANN or use bfloat16)")
         if self.dimension < 1 or self.dimension > 8192:
             raise ValueError(f"dimension out of range: {self.dimension}")
 

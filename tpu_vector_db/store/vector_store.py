@@ -205,7 +205,9 @@ class TPUVectorStore:
         d = self.config.dimension
         self._d_pad = ((d + 127) // 128) * 128
         self._block = int(self.config.block_rows)
-        self._dtype = jnp.bfloat16 if self.config.storage_dtype == "bfloat16" else jnp.float32
+        self._dtype = {"bfloat16": jnp.bfloat16,
+                       "int8": jnp.int8}.get(self.config.storage_dtype,
+                                             jnp.float32)
 
         # host canonical state
         self._count = 0
@@ -255,6 +257,10 @@ class TPUVectorStore:
         if self.metric == "cosine":
             x = D.l2_normalize(x)
         x = D.pad_dim(x)
+        if self._dtype == jnp.int8:
+            # unit-norm rows -> fixed 127 scale, no per-row scale stream;
+            # _flat_topk divides scores back by 127
+            return jnp.clip(jnp.round(x * 127.0), -127, 127).astype(jnp.int8)
         return x.astype(self._dtype)
 
     def _reset_device(self, capacity: int) -> None:
@@ -359,6 +365,9 @@ class TPUVectorStore:
     def _use_pallas(self, k: int, filtered: bool) -> bool:
         if not getattr(self.config, "use_pallas", True):
             return False
+        if self._dtype == jnp.int8:
+            return False  # int8 scores via the XLA scan (measured: int8 on
+            # the MXU is slower than bf16 anyway; int8 is a capacity mode)
         if jax.default_backend() != "tpu":
             return False
         from tpu_vector_db.ops.pallas_scan import (
@@ -385,6 +394,8 @@ class TPUVectorStore:
         packed = np.asarray(packed)  # the one blocking D2H
         kk = packed.shape[-1] // 2
         keys = np.ascontiguousarray(packed[:, :kk]).view(np.float32)
+        if self._dtype == jnp.int8:
+            keys = keys * (1.0 / 127.0)  # undo the fixed quantizer scale
         return keys, packed[:, kk:]
 
     def _format_results(self, keys_row: np.ndarray, idx_row: np.ndarray,
@@ -716,7 +727,7 @@ class TPUVectorStore:
     def get_stats(self) -> dict:
         with self._lock:
             device_mb = (self._cap * self._d_pad *
-                         (2 if self._dtype == jnp.bfloat16 else 4)) / 2**20
+                         jnp.dtype(self._dtype).itemsize) / 2**20
             host_mb = (self._host_cap * self.config.dimension * 4) / 2**20
             return {
                 "vector_count": self._count,
