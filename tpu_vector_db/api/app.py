@@ -241,5 +241,7 @@ async def _on_startup(app: web.Application) -> None:
 
 
 async def _on_cleanup(app: web.Application) -> None:
+    if app.get("coalescer") is not None:
+        await app["coalescer"].aclose()
     get_registry().stop_sampler()
     app["manager"].shutdown()

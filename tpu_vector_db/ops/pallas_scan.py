@@ -47,12 +47,17 @@ def _next_pow2(n: int) -> int:
 def pick_block_rows(d_pad: int, itemsize: int) -> int:
     """Power of two (divides any pow2-padded capacity), VMEM-budgeted.
 
-    Block height is capped at 4096: the merge branch's (Q, B) working set
-    lives in scoped VMEM (16MB limit — 8192 rows OOMed at Q=64). Small-d
-    efficiency comes from the lazy threshold-gated merge instead."""
-    rows = _BLOCK_VMEM_BYTES // (d_pad * itemsize)
+    Two VMEM terms bound the block height B (scoped limit 16MB):
+    the double-buffered db block (2·B·d·itemsize) and the merge branch's
+    (Q, B) working set (~41 bytes per row·query at Q=64 — measured from
+    the compiler's scoped-allocation report: d=384 bf16 at B=4096 demanded
+    16.79MB and OOMed by 812KB, while d=768 at B=2048 and d=128 at B=4096
+    fit). Budgeting both terms to 14.5MB keeps every measured config's
+    block unchanged and drops only 384D to 2048."""
+    budget = int(14.5 * 2**20)
     block = 512
-    while block * 2 <= min(rows, 4096):
+    while block * 2 <= 4096 and \
+            (2 * block * 2 * d_pad * itemsize + 41 * 64 * block * 2) <= budget:
         block *= 2
     return block
 

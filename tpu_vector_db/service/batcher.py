@@ -112,6 +112,14 @@ class QueryCoalescer:
                 if not fut.done():
                     fut.set_exception(exc)
 
+    async def aclose(self) -> None:
+        """Flush every pending lane now (server shutdown): waiters get
+        their results instead of hanging on a dead event loop."""
+        for key, lane in list(self._lanes.items()):
+            self._detach_and_flush(key, lane)
+        # let the flush tasks run before the loop closes
+        await asyncio.sleep(0)
+
     def get_stats(self) -> dict:
         return {"window_ms": self.window_s * 1e3,
                 "max_batch": self.max_batch,
