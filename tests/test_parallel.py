@@ -363,3 +363,52 @@ def test_sharded_int8_storage(tmp_path, rng):
     store.add_vectors(x)
     ids, scores, _ = store.query(x[9], k=3)
     assert ids[0] == 9 and 0.99 < scores[0] <= 1.0
+
+
+class TestShardedAnnPersistence:
+    """Sharded indexes persist and reload without rebuilding (round-2:
+    previously every restart re-ran k-means / the native graph build)."""
+
+    def test_sharded_ivf_reload(self, tmp_path, rng):
+        x = rng.standard_normal((400, 24)).astype(np.float32)
+        cfg = VectorStoreConfig(
+            dimension=24, metric="cosine", enable_ann=True,
+            ann_params={"index_type": "ivf", "min_rows": 0, "nprobe": 64,
+                        "n_clusters": 4, "bucket_rows": 64,
+                        "self_check": False})
+        s = ShardedVectorStore(tmp_path / "pivf", cfg,
+                               mesh=make_device_mesh(8))
+        s.add_vectors(x)
+        ids0, _, _ = s.query(x[5], k=3)
+        s.flush()
+
+        s2 = ShardedVectorStore(tmp_path / "pivf", cfg,
+                                mesh=make_device_mesh(8))
+        from tpu_vector_db.parallel.sharded_ivf import ShardedIVF
+        assert isinstance(s2._ann, ShardedIVF)
+        assert s2._ann.build_time_s == 0.0, "reload must not rebuild"
+        ids1, _, _ = s2.query(x[5], k=3)
+        assert list(ids0) == list(ids1)
+
+    def test_sharded_graph_reload(self, tmp_path, rng):
+        from tpu_vector_db.index import native
+        if not native.available():
+            pytest.skip("native builder unavailable")
+        x = rng.standard_normal((400, 24)).astype(np.float32)
+        cfg = VectorStoreConfig(
+            dimension=24, metric="cosine", enable_ann=True,
+            ann_params={"min_rows": 0, "M": 4, "ef_construction": 32,
+                        "self_check": False})
+        s = ShardedVectorStore(tmp_path / "pg", cfg,
+                               mesh=make_device_mesh(8))
+        s.add_vectors(x)
+        ids0, _, _ = s.query(x[5], k=3)
+        s.flush()
+
+        s2 = ShardedVectorStore(tmp_path / "pg", cfg,
+                                mesh=make_device_mesh(8))
+        from tpu_vector_db.parallel.sharded_ann import ShardedBeamGraph
+        assert isinstance(s2._ann, ShardedBeamGraph)
+        assert s2._ann.build_time_s == 0.0, "reload must not rebuild"
+        ids1, _, _ = s2.query(x[5], k=3)
+        assert list(ids0) == list(ids1)

@@ -210,6 +210,57 @@ class ShardedBeamGraph:
                                 out_specs=(P(), P()), check_vma=False)
         return jax.jit(sharded)
 
+    # ----------------------------------------------------------- persistence
+
+    SHARDED_GRAPH_FILE = "ann_sharded_graph.npz"
+
+    def save(self, directory) -> None:
+        from pathlib import Path
+
+        from tpu_vector_db.utils.fs import atomic_save_npz
+        if not self.built:
+            return
+        e_max = max((len(e) for e in self._entry_lists), default=1)
+        entries = np.full((self.n_dev, e_max), -1, np.int32)
+        for s, e in enumerate(self._entry_lists):
+            entries[s, : len(e)] = e
+        atomic_save_npz(
+            Path(directory) / self.SHARDED_GRAPH_FILE,
+            graphs=self._graphs_host, keys=self._keys_host,
+            entries=entries,
+            meta=np.array([self.n_dev, self._rows_per_shard, self._count,
+                           self.M, self.ef_construction, self.dim],
+                          np.int64))
+
+    def load(self, directory, capacity: int) -> bool:
+        from pathlib import Path
+        path = Path(directory) / self.SHARDED_GRAPH_FILE
+        if not path.exists():
+            return False
+        try:
+            with np.load(path) as z:
+                n_dev, rows, count, m, efc, dim = z["meta"]
+                if (n_dev != self.n_dev or dim != self.dim
+                        or int(m) != self.M
+                        or capacity // self.n_dev != rows
+                        or z["graphs"].shape[0] != capacity):
+                    raise ValueError("sharded graph layout mismatch")
+                self._graphs_host = z["graphs"]
+                self._keys_host = z["keys"]
+                entries = z["entries"]
+            self._entry_lists = [e[e >= 0] for e in entries]
+            self._rows_per_shard = int(rows)
+            self._count = int(count)
+            self._graph_dev = jax.device_put(
+                jnp.asarray(self._graphs_host),
+                NamedSharding(self.mesh, P(self.axis_name, None)))
+            self._place_entries()
+            return True
+        except Exception:  # noqa: BLE001 — corrupt graph -> rebuild
+            logger.exception("corrupt sharded graph at %s; will rebuild",
+                             path)
+            return False
+
     def get_stats(self) -> dict:
         return {"type": "sharded_beam_graph", "nodes": self._count,
                 "shards": self.n_dev, "M": self.M, "R": self.R,

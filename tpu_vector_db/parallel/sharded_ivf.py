@@ -326,6 +326,66 @@ class ShardedIVF:
             args.append(dev["bucket_sqnorms"])
         return args
 
+    # ----------------------------------------------------------- persistence
+
+    SHARDED_IVF_FILE = "ann_sharded_ivf.npz"
+
+    def save(self, directory) -> None:
+        """One npz holding every shard's host layout; the mesh arrays
+        re-assemble from host vectors at load (they are a pure function of
+        the layout + rows)."""
+        from pathlib import Path
+
+        from tpu_vector_db.utils.fs import atomic_save_npz
+        if not self.built:
+            return
+        payload = {"meta": np.array(
+            [self.n_dev, self._rows_per_shard, self._count, self._bc,
+             self.dim], np.int64)}
+        for s, sub in enumerate(self._subs):
+            payload[f"built_{s}"] = np.array([int(sub.built)])
+            if sub.built:
+                payload[f"cents_{s}"] = sub._centroids
+                payload[f"ids_{s}"] = sub._ids
+                payload[f"bclust_{s}"] = sub._bucket_cluster
+                payload[f"free_{s}"] = sub._free
+                payload[f"n_{s}"] = np.array([sub._n])
+        atomic_save_npz(Path(directory) / self.SHARDED_IVF_FILE, **payload)
+
+    def load(self, directory, host_vectors: np.ndarray,
+             capacity: int) -> bool:
+        from pathlib import Path
+        path = Path(directory) / self.SHARDED_IVF_FILE
+        if not path.exists():
+            return False
+        try:
+            with np.load(path) as z:
+                n_dev, rows, count, bc, dim = z["meta"]
+                if (n_dev != self.n_dev or dim != self.dim
+                        or capacity // self.n_dev != rows):
+                    raise ValueError("sharded IVF layout mismatch")
+                self._subs = []
+                for s in range(self.n_dev):
+                    sub = IVFIndex(dim=self.dim, metric=self.metric,
+                                   nprobe=self.nprobe, bucket_rows=int(bc),
+                                   train_iters=self.train_iters, seed=s)
+                    if int(z[f"built_{s}"][0]):
+                        sub._centroids = z[f"cents_{s}"]
+                        sub._ids = z[f"ids_{s}"]
+                        sub._bucket_cluster = z[f"bclust_{s}"]
+                        sub._free = z[f"free_{s}"]
+                        sub._n = int(z[f"n_{s}"][0])
+                    self._subs.append(sub)
+            self._bc = int(bc)
+            self._rows_per_shard = int(rows)
+            self._count = int(count)
+            self._assemble(host_vectors)
+            return True
+        except Exception:  # noqa: BLE001 — corrupt index -> rebuild
+            logger.exception("corrupt sharded IVF at %s; will rebuild",
+                             path)
+            return False
+
     def get_stats(self) -> dict:
         live = sum(int((s._ids >= 0).sum()) for s in self._subs if s.built)
         return {"type": "sharded_ivf", "nodes": self._count,

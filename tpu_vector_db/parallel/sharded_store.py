@@ -215,10 +215,11 @@ class ShardedVectorStore(TPUVectorStore):
             self._ann = None
             return
         from tpu_vector_db.parallel.sharded_ann import ShardedBeamGraph
-        if (self._ann is not None and incremental_from
+        if (isinstance(self._ann, ShardedBeamGraph) and incremental_from
                 and self._ann.size == incremental_from
                 and self._ann._rows_per_shard == self._cap // self._n_dev):
             self._ann.add(self._host_buf, incremental_from, self._count)
+            self._persist_sharded_ann()
             self._ann_stale = False
             return
         p = self.config.ann_params
@@ -227,9 +228,16 @@ class ShardedVectorStore(TPUVectorStore):
             M=p.get("M", 16),
             ef_construction=p.get("ef_construction", 200),
             alpha=p.get("alpha", 1.2))
-        self._ann.build(self._host_buf, self._count, self._cap)
+        if not (self._ann.load(self.store_path, self._cap)
+                and self._ann.size == self._count):
+            self._ann.build(self._host_buf, self._count, self._cap)
+            self._persist_sharded_ann()
         self._ann_stale = False
         self._ann_fns = _CompiledFnCache()
+
+    def _persist_sharded_ann(self) -> None:
+        if self.config.persist_mode != "off" and self._ann is not None:
+            self._ann.save(self.store_path)
 
     def _refresh_sharded_ivf(self, incremental_from=None) -> None:
         from tpu_vector_db.parallel.sharded_ivf import ShardedIVF
@@ -238,6 +246,7 @@ class ShardedVectorStore(TPUVectorStore):
                 and self._ann.size == incremental_from
                 and self._ann._rows_per_shard == self._cap // self._n_dev):
             self._ann.add(self._host_buf, incremental_from, self._count)
+            self._persist_sharded_ann()
             self._ann_stale = False
             return
         dtype = self._dtype
@@ -248,7 +257,10 @@ class ShardedVectorStore(TPUVectorStore):
             bucket_rows=p.get("bucket_rows"),
             train_iters=p.get("train_iters", 10),
             storage_dtype=dtype)
-        self._ann.build(self._host_buf, self._count, self._cap)
+        if not (self._ann.load(self.store_path, self._host_buf, self._cap)
+                and self._ann.size == self._count):
+            self._ann.build(self._host_buf, self._count, self._cap)
+            self._persist_sharded_ann()
         self._ann_stale = False
         self._ann_fns = _CompiledFnCache()
 
