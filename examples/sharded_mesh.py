@@ -22,7 +22,10 @@ if "host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-if jax.device_count() < 8:
+# Default to the virtual CPU mesh: querying jax.device_count() first would
+# FINALIZE the single-chip backend and the later platform switch would be
+# ignored. Set VDB_USE_TPU_MESH=1 on real multi-chip hardware.
+if not os.environ.get("VDB_USE_TPU_MESH"):
     jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
