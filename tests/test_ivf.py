@@ -208,3 +208,30 @@ class TestStoreIVF:
         assert s2.get_stats()["index_type"] == "ivf"
         idx, scores, _ = s2.query(x[3], k=1)
         assert idx[0] == 3
+
+
+def test_ivf_large_k_routes_to_flat(tmp_store_path, rng):
+    """k > 32 on an IVF store routes to the exact big-k engine (the IVF
+    XLA probe fallback measured 70x slower at batch; store routing guard
+    in vector_store.py batch_query)."""
+    from tpu_vector_db.store import TPUVectorStore, VectorStoreConfig
+    x = rng.standard_normal((600, 32)).astype(np.float32)
+    s = TPUVectorStore(tmp_store_path, VectorStoreConfig(
+        dimension=32, metric="cosine", enable_ann=True,
+        ann_params={"index_type": "ivf", "min_rows": 0, "nprobe": 8,
+                    "n_clusters": 4, "bucket_rows": 64,
+                    "self_check": False}))
+    s.add_vectors(x)
+    calls = {"n": 0}
+    orig = s._ann_batch_query
+
+    def spy(*a, **kw):
+        calls["n"] += 1
+        return orig(*a, **kw)
+
+    s._ann_batch_query = spy
+    ids, scores, _ = s.query(x[3], k=40)
+    assert ids[0] == 3 and len(ids) == 40
+    assert calls["n"] == 0, "large-k must bypass the IVF probe path"
+    ids, _, _ = s.query(x[3], k=10)
+    assert calls["n"] == 1 and ids[0] == 3

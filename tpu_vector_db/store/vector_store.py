@@ -459,7 +459,15 @@ class TPUVectorStore:
             # ann_min_rows=0 (default) preserves reference semantics
             # (always use the index when enabled)
             min_rows = self.config.ann_params.get("ann_min_rows", 0)
-            if (use_ann and self.config.enable_ann and
+            # IVF large-k routing: past the Pallas probe kernel's k=32 the
+            # IVF fallback scans probes through XLA gathers — TPU-measured
+            # 698 ms/batch-64 at 1M x 768D k=100 vs 9.4 ms for the exact
+            # big-k kernel. The exact engine also handles the filtered
+            # oversample (k*10) natively via its mask stream.
+            fetch_k = min(self._count, k_eff * 10) if filter_metadata \
+                else k_eff
+            ivf_large_k = (self._ann_kind == "ivf" and fetch_k > 32)
+            if (use_ann and self.config.enable_ann and not ivf_large_k and
                     self._ann is not None and self._count >= min_rows and
                     not self._ann_low_recall):
                 try:
