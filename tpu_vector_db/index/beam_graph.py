@@ -266,12 +266,13 @@ def _reverse_update(graph, ekeys, db, ids, n_ids, n_keys, sqnorms, *,
     jax.jit,
     static_argnames=("B", "R", "M", "efc", "iters", "metric", "alpha",
                      "exclude_self", "rev_extra", "rev_chunk",
-                     "insert_mode"),
+                     "insert_mode", "bw"),
     donate_argnums=(0, 1))
 def _device_insert_scan(graph, ekeys, db, starts, count0, entries, sqnorms,
                         *, B: int, R: int, M: int, efc: int, iters: int,
                         metric: str, alpha: float, exclude_self: bool,
-                        rev_extra: int, rev_chunk: int, insert_mode: bool):
+                        rev_extra: int, rev_chunk: int, insert_mode: bool,
+                        bw: int = 4):
     """K = len(starts) consecutive insert (or refine) batches in ONE
     dispatch. Carry is the donated (graph, ekeys) pair; nothing returns to
     the host, so successive dispatches pipeline through JAX async dispatch.
@@ -285,7 +286,7 @@ def _device_insert_scan(graph, ekeys, db, starts, count0, entries, sqnorms,
         queries = db[ids].astype(jnp.float32)
         cand_ids, cand_keys = beam_search(
             queries, db, graph, entries, count, k=efc, ef=efc,
-            beam_width=4, iters=iters, metric=metric, sqnorms=sqnorms)
+            beam_width=bw, iters=iters, metric=metric, sqnorms=sqnorms)
         if exclude_self:  # refine: a node must not choose itself; union
             # with EXISTING edges (reverse edges carry the long-range links
             # that keep distant clusters reachable — measured 0.90 -> 0.61
@@ -587,6 +588,9 @@ class BeamGraphIndex:
     # batches folded per dispatch; the dominant build cost through the axon
     # tunnel is the per-dispatch round trip, not device compute
     _SCAN_K = 8
+    # build-time beam width: total expansion budget stays efc (iters=efc/bw)
+    # — a wider beam halves the sequential scan length per inserted batch
+    build_beam_width = 4
     # extra backlink slots considered per row per batch before re-pruning
     _REVERSE_EXTRA = 16
 
@@ -595,7 +599,8 @@ class BeamGraphIndex:
         """One device dispatch covering len(starts) consecutive batches of
         `batch` rows each. No D2H: the device graph is the source of truth
         until _materialize_host()."""
-        iters = max(self.ef_construction // 4, 6)
+        bw = self.build_beam_width
+        iters = max(self.ef_construction // bw, 6)
         self._graph_dev, self._ekeys_dev = _device_insert_scan(
             self._graph_dev, self._ekeys_dev, db,
             jnp.asarray(np.asarray(starts, np.int32)),
@@ -605,7 +610,7 @@ class BeamGraphIndex:
             iters=iters, metric=self.metric, alpha=self.alpha,
             exclude_self=exclude_self, rev_extra=self._REVERSE_EXTRA,
             rev_chunk=_chunk_for(int(batch) * self.M),
-            insert_mode=count0 is None)
+            insert_mode=count0 is None, bw=bw)
         self._host_dirty = True
 
     def refine(self, db, sqnorms=None, passes: int = 1) -> None:
