@@ -394,3 +394,42 @@ def test_query_coalescing(client_factory, rng, monkeypatch):
             assert len(calls) < 16, f"no coalescing happened: {calls}"
             assert app["coalescer"].coalesced > 0
     run(go())
+
+
+def test_coalescer_isolates_malformed_vectors(client_factory, rng):
+    """A wrong-dimension query must fail ALONE, not poison concurrent
+    well-formed requests sharing its coalescing window (review finding)."""
+    async def go():
+        async with client_factory() as client:
+            app = client.server.app
+            from tpu_vector_db.service.batcher import QueryCoalescer
+            app["coalescer"] = QueryCoalescer(app["manager"],
+                                              window_ms=30, max_batch=32)
+            r = await client.post("/admin/create_store", headers=ADMIN, json={
+                "user_id": "mix", "model_id": "m1", "dimension": 16})
+            assert r.status == 201
+            vectors = rng.standard_normal((8, 16)).astype(np.float32)
+            r = await client.post("/vectors/add", headers=AUTH, json={
+                "user_id": "mix", "model_id": "m1",
+                "vectors": vectors.tolist()})
+            assert r.status == 200
+
+            async def good(i):
+                r = await client.post("/vectors/query", headers=AUTH, json={
+                    "user_id": "mix", "model_id": "m1",
+                    "query": vectors[i].tolist(), "k": 1})
+                return r.status, (await r.json())
+
+            async def bad():
+                r = await client.post("/vectors/query", headers=AUTH, json={
+                    "user_id": "mix", "model_id": "m1",
+                    "query": [0.0] * 24, "k": 1})  # wrong dimension
+                return r.status, (await r.json())
+
+            results = await asyncio.gather(good(0), bad(), good(1))
+            assert results[0][0] == 200
+            assert results[0][1]["results"][0]["index"] == 0
+            assert results[1][0] == 400
+            assert results[2][0] == 200
+            assert results[2][1]["results"][0]["index"] == 1
+    run(go())

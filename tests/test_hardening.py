@@ -325,3 +325,55 @@ class TestShardedFnCacheBound:
         # every cached entry is for the live capacity
         assert all(key[-1] == store._cap
                    for key in store._query_fns._d)
+
+
+# ---------------------------------------------------- round-2 review fixes
+
+def test_ivf_add_after_query(tmp_path, rng):
+    """add() with a warm device mirror placed rows into existing buckets —
+    crashed with NameError before the fix (index/ivf.py)."""
+    from tpu_vector_db.store import TPUVectorStore, VectorStoreConfig
+    x = rng.standard_normal((400, 16)).astype(np.float32)
+    s = TPUVectorStore(tmp_path / "iaq", VectorStoreConfig(
+        dimension=16, metric="cosine", enable_ann=True, persist_mode="off",
+        ann_params={"index_type": "ivf", "min_rows": 0, "nprobe": 8,
+                    "n_clusters": 2, "bucket_rows": 512,
+                    "self_check": False}))
+    s.add_vectors(x[:300])
+    s.query(x[0], k=3)              # warms the device mirror
+    s.add_vectors(x[300:])          # fits free slots: scatter path
+    ids, _, _ = s.query(x[350], k=3)
+    assert 350 in list(ids)
+
+
+def test_reopen_metric_mismatch_refused(tmp_path, rng):
+    """Explicit reopen config with a different metric/dtype must refuse
+    (it would silently flip the persisted config and serve wrong scores)."""
+    from tpu_vector_db.store import TPUVectorStore, VectorStoreConfig
+    from tpu_vector_db.store.persistence import StoreDimensionMismatch
+    s = TPUVectorStore(tmp_path / "m", VectorStoreConfig(
+        dimension=16, metric="euclidean"))
+    s.add_vectors(rng.standard_normal((10, 16)).astype(np.float32))
+    s.flush()
+    with pytest.raises(StoreDimensionMismatch):
+        TPUVectorStore(tmp_path / "m", VectorStoreConfig(
+            dimension=16, metric="cosine"))
+    with pytest.raises(StoreDimensionMismatch):
+        TPUVectorStore(tmp_path / "m", VectorStoreConfig(
+            dimension=16, metric="euclidean", storage_dtype="bfloat16"))
+
+
+def test_legacy_tenant_dir_fallback(tmp_path, rng):
+    """Stores created under the round-1 lossy dir encoding stay reachable
+    by their original tenant id after the reversible-encoding upgrade."""
+    from tpu_vector_db.service.manager import VectorStoreManager
+    from tpu_vector_db.store import TPUVectorStore, VectorStoreConfig
+    mgr = VectorStoreManager(base_path=tmp_path / "stores")
+    legacy = tmp_path / "stores" / "a_b" / "m_1"  # 'a.b' under old scheme
+    legacy.mkdir(parents=True)
+    st = TPUVectorStore(legacy, VectorStoreConfig(dimension=8))
+    st.add_vectors(rng.standard_normal((5, 8)).astype(np.float32))
+    st.flush()
+    st.close()
+    got = mgr.get_store("a.b", "m.1", create=False)
+    assert got.vector_count == 5

@@ -412,3 +412,32 @@ class TestShardedAnnPersistence:
         assert s2._ann.build_time_s == 0.0, "reload must not rebuild"
         ids1, _, _ = s2.query(x[5], k=3)
         assert list(ids0) == list(ids1)
+
+
+def test_sharded_ivf_spill_buckets_searchable(tmp_path, rng):
+    """Incremental adds that SPILL into new buckets must be probe-visible
+    (dev bucket_cluster used to stay -1 for them — review finding)."""
+    from tpu_vector_db.parallel.sharded_ivf import ShardedIVF
+    d = 16
+    base = rng.standard_normal((1, d)).astype(np.float32) * 3
+    x = np.concatenate([base + 0.05 * rng.standard_normal((96, d))
+                        .astype(np.float32)])  # ONE tight cluster
+    extra = (base + 0.05 * rng.standard_normal((32, d))
+             .astype(np.float32))
+    host = np.concatenate([x, extra])
+    mesh = make_device_mesh(8)
+    # capacity 1024 -> 128 rows/shard; all 160 rows land in shards 0-1;
+    # bucket_rows=32 so shard 0's single cluster needs spill buckets
+    ivf = ShardedIVF(dim=d, metric="cosine", mesh=mesh, nprobe=4,
+                     n_clusters=1, bucket_rows=32,
+                     storage_dtype=jnp.float32)
+    ivf.build(host[:96], 96, 1024)
+    r = ivf.add(host, 96, 128)  # stays inside shard 0: scatter path
+    assert not r["reassembled"], "test needs the scatter path"
+    qn = extra[:8] / np.linalg.norm(extra[:8], axis=1, keepdims=True)
+    qj = jnp.asarray(D.pad_dim(jnp.asarray(qn)))
+    fn = ivf.make_search_fn(10, nprobe=ivf._nb_pad, with_sqnorms=False)
+    _, gids = fn(qj, *ivf.search_args())
+    found = set(np.asarray(gids).ravel().tolist())
+    new_found = [g for g in range(96, 128) if g in found]
+    assert new_found, "spilled rows must be findable after add"

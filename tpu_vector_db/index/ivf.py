@@ -37,19 +37,13 @@ from tpu_vector_db.ops import kmeans
 from tpu_vector_db.ops.ivf_scan import (MAX_IVF_PALLAS_K,
                                         ivf_probe_topk_pallas,
                                         ivf_probe_topk_xla)
+from tpu_vector_db.ops.pallas_scan import _next_pow2  # noqa: F401 (shared)
 from tpu_vector_db.utils.fs import atomic_save_npz
 
 logger = logging.getLogger(__name__)
 
 NEG_INF = float("-inf")
 IVF_FILE = "ann_ivf.npz"
-
-
-def _next_pow2(n: int) -> int:
-    p = 1
-    while p < max(n, 1):
-        p *= 2
-    return p
 
 
 @functools.partial(jax.jit, static_argnames=("nprobe", "metric"))
@@ -205,6 +199,7 @@ class IVFIndex:
         placed = self._place_rows(assign, np.arange(old_count, new_count))
         self._n = new_count
         if self._dev is not None and placed:
+            bc = self._ids.shape[1]
             flat_pos = jnp.asarray(
                 [b * bc + s for b, s, _ in placed], jnp.int32)
             row_ids = jnp.asarray([r for _, _, r in placed], jnp.int32)

@@ -44,6 +44,8 @@ class ShardedBeamGraph:
         self.alpha = float(alpha)
         self._graph_dev = None       # (cap, R) int32, row-sharded
         self._entries_dev = None     # (P, E) int32, sharded on axis 0
+        self._scatter_jit = None     # memoized (fresh jit per call would
+        #                              recompile on every add)
         self._graphs_host = None     # (cap, R) int32 — incremental state
         self._keys_host = None       # (cap, R) f32
         self._entry_lists: list[np.ndarray] = []
@@ -162,12 +164,15 @@ class ShardedBeamGraph:
         self._count = new_count
         if touched_all:
             ids = np.concatenate(touched_all)
-            sharding = NamedSharding(self.mesh, P(self.axis_name, None))
-            scatter = jax.jit(
-                lambda g, i, r: g.at[i].set(r, out_sharding=sharding),
-                donate_argnums=(0,), out_shardings=sharding)
-            self._graph_dev = scatter(self._graph_dev, jnp.asarray(ids),
-                                      jnp.asarray(self._graphs_host[ids]))
+            if self._scatter_jit is None:
+                sharding = NamedSharding(self.mesh,
+                                         P(self.axis_name, None))
+                self._scatter_jit = jax.jit(
+                    lambda g, i, r: g.at[i].set(r, out_sharding=sharding),
+                    donate_argnums=(0,), out_shardings=sharding)
+            self._graph_dev = self._scatter_jit(
+                self._graph_dev, jnp.asarray(ids),
+                jnp.asarray(self._graphs_host[ids]))
             self._place_entries()
         dt = time.perf_counter() - t0
         self.build_time_s += dt

@@ -65,6 +65,7 @@ class ShardedIVF:
 
         self._subs: list[IVFIndex] = []
         self._dev: dict | None = None     # mesh-sharded assembled arrays
+        self._scatter_jits = None         # memoized donated scatter fns
         self._nb_pad = 0
         self._bc = 0
         self._rows_per_shard = 0
@@ -229,13 +230,42 @@ class ShardedIVF:
         return {"nodes": new_count - old_count, "build_time_s": dt,
                 "reassembled": overflow, "placed": len(scat)}
 
+    def _get_scatter_jits(self):
+        """Jitted donated scatters, built ONCE per index: a fresh jax.jit
+        per call would retrace + recompile on every add (jit caches key on
+        function identity — review finding)."""
+        if self._scatter_jits is None:
+            shard1 = NamedSharding(self.mesh, P(self.axis_name, None))
+            shard2 = NamedSharding(self.mesh,
+                                   P(self.axis_name, None, None))
+            shard3 = NamedSharding(self.mesh,
+                                   P(self.axis_name, None, None, None))
+            flat2 = NamedSharding(self.mesh, P(self.axis_name, None))
+            flat1 = NamedSharding(self.mesh, P(self.axis_name))
+
+            def scatter_rows(bk, pos, rws):
+                p_, n_, c_, d_ = bk.shape
+                flat = bk.reshape(p_ * n_ * c_, d_)
+                flat = flat.at[pos].set(rws, out_sharding=flat2)
+                return flat.reshape(p_, n_, c_, d_)
+
+            def scatter_ids(idv, pos, vals):
+                p_, n_, c_ = idv.shape
+                flat = idv.reshape(p_ * n_ * c_)
+                flat = flat.at[pos].set(vals, out_sharding=flat1)
+                return flat.reshape(p_, n_, c_)
+
+            self._scatter_jits = (
+                jax.jit(scatter_rows, donate_argnums=(0,),
+                        out_shardings=shard3),
+                jax.jit(scatter_ids, donate_argnums=(0,),
+                        out_shardings=shard2))
+        return self._scatter_jits
+
     def _scatter(self, host_vectors: np.ndarray,
                  scat: list[tuple[int, int, int, int]]) -> None:
         bc, nb = self._bc, self._nb_pad
         shard1 = NamedSharding(self.mesh, P(self.axis_name, None))
-        shard2 = NamedSharding(self.mesh, P(self.axis_name, None, None))
-        shard3 = NamedSharding(self.mesh,
-                               P(self.axis_name, None, None, None))
         flat_pos = np.asarray(
             [(s * nb + b) * bc + slot for s, b, slot, _ in scat], np.int32)
         grows = np.asarray([g for _, _, _, g in scat], np.int32)
@@ -244,41 +274,31 @@ class ShardedIVF:
             np.int32)
         prepared = self._prepare(host_vectors[grows])
 
-        flat2 = NamedSharding(self.mesh, P(self.axis_name, None))
-        flat1 = NamedSharding(self.mesh, P(self.axis_name))
-
-        def scatter_rows(bk, pos, rws):
-            p_, n_, c_, d_ = bk.shape
-            flat = bk.reshape(p_ * n_ * c_, d_)
-            flat = flat.at[pos].set(rws, out_sharding=flat2)
-            return flat.reshape(p_, n_, c_, d_)
-
-        def scatter_ids(idv, pos, vals):
-            p_, n_, c_ = idv.shape
-            flat = idv.reshape(p_ * n_ * c_)
-            flat = flat.at[pos].set(vals, out_sharding=flat1)
-            return flat.reshape(p_, n_, c_)
-
+        scatter_rows, scatter_ids = self._get_scatter_jits()
         dev = self._dev
-        dev["buckets"] = jax.jit(
-            scatter_rows, donate_argnums=(0,), out_shardings=shard3)(
+        dev["buckets"] = scatter_rows(
             dev["buckets"], jnp.asarray(flat_pos),
             jnp.asarray(prepared, self.storage_dtype))
-        dev["ids"] = jax.jit(
-            scatter_ids, donate_argnums=(0,), out_shardings=shard2)(
+        dev["ids"] = scatter_ids(
             dev["ids"], jnp.asarray(flat_pos), jnp.asarray(local_ids))
         if dev["bucket_sqnorms"] is not None:
             raw = host_vectors[grows].astype(np.float32)
-            dev["bucket_sqnorms"] = jax.jit(
-                scatter_ids, donate_argnums=(0,), out_shardings=shard2)(
+            dev["bucket_sqnorms"] = scatter_ids(
                 dev["bucket_sqnorms"], jnp.asarray(flat_pos),
                 jnp.asarray((raw * raw).sum(-1), jnp.float32))
+        # fills AND bucket_cluster refresh from host state: spill buckets
+        # created by _place_rows must become probe-visible (a dev
+        # bucket_cluster of -1 makes _select_buckets score them NEG_INF —
+        # review finding: adds that spilled were silently unsearchable)
         fills = np.zeros((self.n_dev, nb), np.int32)
+        bclust = np.full((self.n_dev, nb), -1, np.int32)
         for s, sub in enumerate(self._subs):
             if sub.built:
                 nb_s = len(sub._bucket_cluster)
                 fills[s, :nb_s] = bc - sub._free
+                bclust[s, :nb_s] = sub._bucket_cluster
         dev["fills"] = jax.device_put(jnp.asarray(fills), shard1)
+        dev["bucket_cluster"] = jax.device_put(jnp.asarray(bclust), shard1)
 
     # ---------------------------------------------------------------- search
 

@@ -71,13 +71,22 @@ class QueryCoalescer:
             return await self.manager.query_async(
                 user_id, model_id, vector, k=k,
                 filter_metadata=filter_metadata, use_ann=use_ann)
+        # validate THIS request's shape before it joins a lane: one
+        # malformed vector must not fail every coalesced neighbor (the
+        # np.stack / batch validation error would propagate to all
+        # waiters — review finding)
+        from tpu_vector_db.utils.validation import validate_vector_shape
+        store = self.manager.get_store(user_id, model_id, create=False)
+        arr = validate_vector_shape(vector, store.config.dimension)
+        if arr.shape[0] != 1:
+            raise ValueError("query() takes one vector; use batch_query()")
         loop = asyncio.get_running_loop()
         key = (user_id, model_id, int(k), bool(use_ann))
         lane = self._lanes.get(key)
         if lane is None:
             lane = self._lanes[key] = _Lane()
         fut: asyncio.Future = loop.create_future()
-        lane.items.append((np.asarray(vector, np.float32).reshape(-1), fut))
+        lane.items.append((arr.reshape(-1), fut))
         if len(lane.items) >= self.max_batch:
             self._detach_and_flush(key, lane)
         elif lane.timer is None:

@@ -72,9 +72,23 @@ class VectorStoreManager:
         from urllib.parse import unquote
         return unquote(name)
 
+    @staticmethod
+    def _legacy_encode(s: str) -> str:
+        """The round-1 lossy sanitizer (every non-alnum -> '_'): kept only
+        to FIND stores created before the reversible encoding so an
+        upgrade doesn't orphan tenants whose ids contain encoded chars
+        (review finding)."""
+        return "".join(ch if ch.isalnum() else "_" for ch in s)
+
     def _store_path(self, user_id: str, model_id: str) -> Path:
-        return (self.base_path / self._encode_tenant(user_id)
+        path = (self.base_path / self._encode_tenant(user_id)
                 / self._encode_tenant(model_id))
+        if not (path / "manifest.json").exists():
+            legacy = (self.base_path / self._legacy_encode(user_id)
+                      / self._legacy_encode(model_id))
+            if legacy != path and (legacy / "manifest.json").exists():
+                return legacy
+        return path
 
     def _make_store(self, path: Path, config: VectorStoreConfig | None):
         if self._sharded:

@@ -189,12 +189,19 @@ class TPUVectorStore:
         if config is None:
             self.config = manifest_cfg or VectorStoreConfig()
         else:
-            if (manifest_cfg is not None
-                    and manifest_cfg.dimension != config.dimension):
-                raise persistence.StoreDimensionMismatch(
-                    f"store at {store_path} was created with dimension "
-                    f"{manifest_cfg.dimension}, got config with "
-                    f"{config.dimension}")
+            if manifest_cfg is not None:
+                # metric/dtype mismatches are as destructive as dimension
+                # ones: a cosine reopen of a euclidean store would serve
+                # wrong scores AND persist the flipped config on the next
+                # save (review finding)
+                for field_ in ("dimension", "metric", "storage_dtype"):
+                    have = getattr(manifest_cfg, field_)
+                    want = getattr(config, field_)
+                    if have != want:
+                        raise persistence.StoreDimensionMismatch(
+                            f"store at {store_path} was created with "
+                            f"{field_}={have!r}, got config with "
+                            f"{want!r}")
             self.config = config
         self.store_path = Path(store_path)
         ensure_directory(self.store_path)
@@ -458,7 +465,8 @@ class TPUVectorStore:
             # crossover (the exact sweep does 1M rows in ~3.4ms on a v5e);
             # ann_min_rows=0 (default) preserves reference semantics
             # (always use the index when enabled)
-            min_rows = self.config.ann_params.get("ann_min_rows", 0)
+            min_rows = self.config.ann_params.get(
+                "ann_min_rows", self.config.ann_params.get("min_rows", 0))
             # IVF large-k routing: past the Pallas probe kernel's k=32 the
             # IVF fallback scans probes through XLA gathers — TPU-measured
             # 698 ms/batch-64 at 1M x 768D k=100 vs 9.4 ms for the exact
