@@ -456,9 +456,20 @@ class TPUVectorStore:
         if k < 1:
             raise ValueError(f"k must be >= 1, got {k}")
         arr = validate_vector_shape(query_vectors, self.config.dimension)
+        n_q = arr.shape[0]
+        # pad the query batch to a power of two: every distinct Q shape is
+        # a separate compiled device program, and through the remote-compile
+        # tunnel a fresh shape costs seconds to minutes (measured: the REST
+        # coalescer's variable batch sizes serialized behind recompiles)
+        q_pad = 1
+        while q_pad < n_q:
+            q_pad *= 2
+        if q_pad != n_q:
+            arr = np.concatenate(
+                [arr, np.repeat(arr[:1], q_pad - n_q, axis=0)])
         with self._lock:
             if self._count == 0:
-                return [([], [], []) for _ in range(arr.shape[0])]
+                return [([], [], []) for _ in range(n_q)]
             k_eff = min(int(k), self._count)
 
             # routing: ANN only pays off past the fused flat scan's
@@ -479,7 +490,8 @@ class TPUVectorStore:
                     self._ann is not None and self._count >= min_rows and
                     not self._ann_low_recall):
                 try:
-                    return self._ann_batch_query(arr, k_eff, filter_metadata)
+                    return self._ann_batch_query(
+                        arr, k_eff, filter_metadata)[:n_q]
                 except Exception:  # noqa: BLE001 — parity: fall back to exact
                     logger.warning("ANN query failed; falling back to flat scan",
                                    exc_info=True)
@@ -492,7 +504,7 @@ class TPUVectorStore:
                                        time.perf_counter() - t0)
             return [self._format_results(keys[i], idx[i], k_eff,
                                          filter_metadata)
-                    for i in range(arr.shape[0])]
+                    for i in range(n_q)]
 
     # ------------------------------------------------------------------ ANN
 
