@@ -441,3 +441,27 @@ def test_sharded_ivf_spill_buckets_searchable(tmp_path, rng):
     found = set(np.asarray(gids).ravel().tolist())
     new_found = [g for g in range(96, 128) if g in found]
     assert new_found, "spilled rows must be findable after add"
+
+
+def test_sharded_graph_reload_then_extend(tmp_path, rng):
+    """A reloaded sharded graph must accept incremental adds (the load
+    path restores the host arrays the native extender works on)."""
+    from tpu_vector_db.index import native
+    if not native.available():
+        pytest.skip("native builder unavailable")
+    x = rng.standard_normal((500, 24)).astype(np.float32)
+    cfg = VectorStoreConfig(
+        dimension=24, metric="cosine", enable_ann=True,
+        ann_params={"min_rows": 0, "M": 4, "ef_construction": 32,
+                    "self_check": False})
+    s = ShardedVectorStore(tmp_path / "pge", cfg,
+                           mesh=make_device_mesh(8))
+    s.add_vectors(x[:400])
+    s.flush()
+    s2 = ShardedVectorStore(tmp_path / "pge", cfg,
+                            mesh=make_device_mesh(8))
+    assert s2._ann.build_time_s == 0.0
+    s2.add_vectors(x[400:])            # extend the RELOADED subgraphs
+    assert s2._ann.size == 500
+    ids, _, _ = s2.query(x[450], k=3)
+    assert 450 in list(ids)
