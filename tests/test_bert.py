@@ -154,3 +154,33 @@ class TestFlaxBertParity:
         cfg.num_hidden_layers = 5
         with pytest.raises(ValueError, match="layers"):
             bert.load_hf_params(d, cfg)
+
+    def test_overlong_text_keeps_sep(self, tiny_hf_checkpoint, monkeypatch):
+        """When config.max_sequence_length exceeds the largest SEQ bucket,
+        truncation must happen in the TOKENIZER (keeping the trailing
+        [SEP]) — a bare row[:seq] cut dropped it (review finding)."""
+        from tpu_vector_db.pipeline import encoders
+        from tpu_vector_db.pipeline.encoders import create_encoder
+
+        d, _ = tiny_hf_checkpoint
+        monkeypatch.setattr(encoders, "SEQ_BUCKETS", (8, 16))
+        enc = create_encoder(f"hf:{d}", dtype="float32",
+                             max_sequence_length=64)
+        enc.load()
+        captured = {}
+        orig = enc._forward
+
+        def spy(params, ids, mask):
+            captured["ids"] = np.asarray(ids)
+            captured["mask"] = np.asarray(mask)
+            return orig(params, ids, mask)
+
+        enc._forward = spy
+        long_text = " ".join(["quick brown fox"] * 40)  # >> 16 tokens
+        out = enc.encode([long_text])
+        assert out.shape[0] == 1
+        ids, mask = captured["ids"], captured["mask"]
+        assert ids.shape[1] == 16  # clamped to the largest bucket
+        tok = WordPieceTokenizer(d / "vocab.txt")
+        last_live = int(mask[0].sum()) - 1
+        assert ids[0, last_live] == tok.sep_id  # [SEP] survived truncation

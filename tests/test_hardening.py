@@ -377,3 +377,32 @@ def test_legacy_tenant_dir_fallback(tmp_path, rng):
     st.close()
     got = mgr.get_store("a.b", "m.1", create=False)
     assert got.vector_count == 5
+    # access MIGRATES the legacy dir to the reversible-encoded path, so
+    # the claim happens exactly once
+    assert not (legacy / "manifest.json").exists()
+    enc = tmp_path / "stores" / "a%2Eb" / "m%2E1"
+    assert (enc / "manifest.json").exists()
+
+
+def test_legacy_collision_does_not_leak_across_tenants(tmp_path, rng):
+    """Distinct tenant ids whose LEGACY encodings collide ('a.b', 'a b',
+    'a_b' all -> 'a_b') must not all resolve to the same pre-upgrade
+    directory: the first claimant migrates it, later ids get fresh
+    stores (review finding: cross-tenant data exposure)."""
+    from tpu_vector_db.service.manager import VectorStoreManager
+    from tpu_vector_db.store import TPUVectorStore, VectorStoreConfig
+    mgr = VectorStoreManager(base_path=tmp_path / "stores")
+    legacy = tmp_path / "stores" / "a_b" / "m"
+    legacy.mkdir(parents=True)
+    st = TPUVectorStore(legacy, VectorStoreConfig(dimension=8))
+    st.add_vectors(rng.standard_normal((5, 8)).astype(np.float32))
+    st.flush()
+    st.close()
+    first = mgr.get_store("a.b", "m", create=False)  # claims the legacy dir
+    assert first.vector_count == 5
+    # a DIFFERENT tenant with the same legacy encoding now gets a fresh
+    # store, not tenant a.b's data
+    assert not mgr.store_exists("a b", "m")
+    other = mgr.create_store("a b", "m", VectorStoreConfig(dimension=8))
+    assert other.vector_count == 0
+    assert first.vector_count == 5

@@ -52,6 +52,24 @@ class TestKMeans:
                                             iters=10)
         assert np.asarray(counts).sum() == 2000
 
+    @pytest.mark.parametrize("n", [129, 257, 1001])
+    def test_non_divisible_block_counts(self, rng, n):
+        """Row counts that don't divide into the block layout must not
+        drop tail rows from training or crash assignment (review finding:
+        ShardedIVF passes raw per-shard counts like 140001)."""
+        x = clustered(rng, n, 16, centers=4, spread=0.02)
+        db = D.pad_dim(D.l2_normalize(jnp.asarray(x)))
+        cents, counts = kmeans.train_kmeans(
+            db, n, 4, metric="cosine", iters=8, block_rows=64)
+        assert int(np.asarray(counts).sum()) == n  # no dropped tail rows
+        assign = np.asarray(kmeans.assign_clusters(
+            db, jnp.int32(n), cents, metric="cosine", block_rows=64))
+        assert assign.shape == (n,)
+        # clamped-overlap reconstruction must match an unblocked assign
+        ref = np.asarray(kmeans.assign_clusters(
+            db, jnp.int32(n), cents, metric="cosine", block_rows=n))
+        np.testing.assert_array_equal(assign, ref)
+
 
 class TestIVFIndex:
     def _build(self, rng, n=5000, d=32, metric="cosine", **kw):

@@ -223,3 +223,43 @@ class TestMetrics:
         assert "# TYPE http_request_duration_seconds histogram" in text
         summary = reg.summary()
         assert summary["http_requests"] == 1
+
+
+class TestCoalescerShutdown:
+    def test_aclose_waits_for_inflight_flush(self):
+        """aclose must not return until the flushed batch_query finishes —
+        otherwise manager.shutdown() races the device sweep and every
+        waiter gets a spurious shutdown error (review finding)."""
+        import asyncio
+        import types
+
+        from tpu_vector_db.service.batcher import QueryCoalescer
+
+        class FakeManager:
+            def __init__(self):
+                self.calls = 0
+
+            def get_store(self, u, m, create=True):
+                return types.SimpleNamespace(
+                    config=types.SimpleNamespace(dimension=4))
+
+            async def batch_query_async(self, u, m, arr, k=10,
+                                        use_ann=True, **kw):
+                await asyncio.sleep(0.05)  # simulate the device sweep
+                self.calls += 1
+                return [([i], [1.0], [None]) for i in range(len(arr))]
+
+        async def go():
+            mgr = FakeManager()
+            # window longer than the test: only aclose can flush
+            coal = QueryCoalescer(mgr, window_ms=10_000, max_batch=64)
+            task = asyncio.ensure_future(
+                coal.query("u", "m", np.zeros(4, np.float32), 1))
+            await asyncio.sleep(0.01)  # let the query join its lane
+            await coal.aclose()
+            # the in-flight sweep COMPLETED before aclose returned
+            assert mgr.calls == 1
+            ids, scores, meta = await asyncio.wait_for(task, 0.5)
+            assert ids == [0]
+
+        asyncio.run(go())

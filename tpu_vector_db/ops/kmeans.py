@@ -27,6 +27,21 @@ import jax.numpy as jnp
 NEG_INF = float("-inf")
 
 
+def _block_layout(n_pad: int, block_rows: int) -> tuple[int, int]:
+    """(num_blocks, block_rows) covering ALL n_pad rows.
+
+    num_blocks = ceil(n_pad / block_rows); the last block's start is
+    clamped back to n_pad - block_rows, so it overlaps the previous
+    block instead of reading out of bounds. Callers mask the re-read
+    overlap rows out (review finding: floor-division silently dropped
+    the tail for non-divisible row counts, e.g. a last IVF shard of
+    140001 rows — training lost rows and assign crashed on reshape).
+    """
+    block_rows = min(block_rows, n_pad)
+    num_blocks = -(-n_pad // block_rows)
+    return num_blocks, block_rows
+
+
 def _scores(block, centroids, metric, c_sqnorms):
     """(B, C) maximize-keys between data block and centroids."""
     cross = jnp.matmul(block, centroids.T,
@@ -43,17 +58,22 @@ def assign_clusters(db, count, centroids, metric: str = "cosine",
     n_pad = db.shape[0]
     c_sq = jnp.sum(centroids.astype(jnp.float32) ** 2, -1)
     cents = centroids.astype(db.dtype)
-    num_blocks = max(n_pad // block_rows, 1)
-    block_rows = n_pad // num_blocks
+    num_blocks, block_rows = _block_layout(n_pad, block_rows)
 
     def body(_, idx):
-        block = jax.lax.dynamic_slice_in_dim(db, idx * block_rows,
-                                             block_rows, axis=0)
+        start = jnp.minimum(idx * block_rows, n_pad - block_rows)
+        block = jax.lax.dynamic_slice_in_dim(db, start, block_rows, axis=0)
         s = _scores(block, cents, metric, c_sq)
         return None, jnp.argmax(s, axis=-1).astype(jnp.int32)
 
     _, assign = jax.lax.scan(body, None, jnp.arange(num_blocks))
-    return assign.reshape(n_pad)
+    if num_blocks * block_rows == n_pad:
+        return assign.reshape(n_pad)
+    # last block was clamped back by `overlap` rows: its first `overlap`
+    # entries duplicate the previous block's tail — drop them (static trim)
+    overlap = num_blocks * block_rows - n_pad
+    head = assign[:-1].reshape(-1)
+    return jnp.concatenate([head, assign[-1, overlap:]])
 
 
 @functools.partial(jax.jit, static_argnames=("metric", "block_rows"))
@@ -63,16 +83,18 @@ def _lloyd_step(db, count, centroids, metric: str, block_rows: int):
     c = centroids.shape[0]
     c_sq = jnp.sum(centroids.astype(jnp.float32) ** 2, -1)
     cents = centroids.astype(db.dtype)
-    num_blocks = max(n_pad // block_rows, 1)
-    block_rows = n_pad // num_blocks
+    num_blocks, block_rows = _block_layout(n_pad, block_rows)
 
     def body(carry, idx):
         sums, counts, key_acc = carry
-        start = idx * block_rows
+        logical = idx * block_rows
+        start = jnp.minimum(logical, n_pad - block_rows)
         block = jax.lax.dynamic_slice_in_dim(db, start, block_rows, axis=0)
         s = _scores(block, cents, metric, c_sq)             # (B, C)
-        live = (start + jax.lax.broadcasted_iota(
-            jnp.int32, (block_rows, 1), 0)) < count
+        row = start + jax.lax.broadcasted_iota(
+            jnp.int32, (block_rows, 1), 0)
+        # mask padding AND rows re-read in the clamped last block's overlap
+        live = (row < count) & (row >= logical)
         best = jnp.argmax(s, axis=-1)                        # (B,)
         key = jnp.max(s, axis=-1, keepdims=True)
         onehot = jax.nn.one_hot(best, c, dtype=jnp.float32) * live

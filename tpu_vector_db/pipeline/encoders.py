@@ -379,9 +379,14 @@ class BertEncoder(BaseEncoder):
         n = len(texts)
         b = _bucket(n, BATCH_BUCKETS)
         padded = texts + [""] * (b - n)
-        # one tokenizer pass decides the sequence bucket ([CLS]+[SEP] = +2)
-        rows = [self._tokenizer.encode(
-            t, max_length=self.config.max_sequence_length) for t in padded]
+        # one tokenizer pass decides the sequence bucket ([CLS]+[SEP] = +2).
+        # Clamp max_length to the largest bucket so the TOKENIZER performs
+        # any truncation (keeping the trailing [SEP] per BERT convention) —
+        # a bare row[:seq] cut would drop the [SEP] on over-long rows
+        # (review finding).
+        max_len = min(self.config.max_sequence_length, SEQ_BUCKETS[-1])
+        rows = [self._tokenizer.encode(t, max_length=max_len)
+                for t in padded]
         seq = _bucket(max(len(r) for r in rows), SEQ_BUCKETS)
         ids = np.full((b, seq), self._tokenizer.pad_id, np.int32)
         mask = np.zeros((b, seq), np.int32)

@@ -94,14 +94,16 @@ class QueryCoalescer:
                 self.window_s, self._detach_and_flush, key, lane)
         return await fut
 
-    def _detach_and_flush(self, key: tuple, lane: _Lane) -> None:
+    def _detach_and_flush(self, key: tuple,
+                          lane: _Lane) -> "asyncio.Task | None":
         if self._lanes.get(key) is lane:
             del self._lanes[key]
         if lane.timer is not None:
             lane.timer.cancel()
             lane.timer = None
         if lane.items:
-            asyncio.ensure_future(self._run(key, lane.items))
+            return asyncio.ensure_future(self._run(key, lane.items))
+        return None
 
     async def _run(self, key: tuple,
                    items: list[tuple[np.ndarray, asyncio.Future]]) -> None:
@@ -124,10 +126,14 @@ class QueryCoalescer:
     async def aclose(self) -> None:
         """Flush every pending lane now (server shutdown): waiters get
         their results instead of hanging on a dead event loop."""
-        for key, lane in list(self._lanes.items()):
-            self._detach_and_flush(key, lane)
-        # let the flush tasks run before the loop closes
-        await asyncio.sleep(0)
+        tasks = [self._detach_and_flush(key, lane)
+                 for key, lane in list(self._lanes.items())]
+        # wait for the in-flight batch_query calls to actually finish —
+        # sleep(0) only let the tasks START, so manager.shutdown() could
+        # race the device sweep and error every waiter (review finding)
+        tasks = [t for t in tasks if t is not None]
+        if tasks:
+            await asyncio.gather(*tasks, return_exceptions=True)
 
     def get_stats(self) -> dict:
         return {"window_ms": self.window_s * 1e3,

@@ -87,7 +87,23 @@ class VectorStoreManager:
             legacy = (self.base_path / self._legacy_encode(user_id)
                       / self._legacy_encode(model_id))
             if legacy != path and (legacy / "manifest.json").exists():
-                return legacy
+                # migrate on first access: rename the legacy directory to
+                # the reversible-encoded path. The FIRST tenant to touch a
+                # colliding legacy name claims it exactly once; later
+                # distinct ids that share the lossy legacy encoding (e.g.
+                # 'a.b' vs 'a b' -> 'a_b') then get fresh stores instead
+                # of silently opening another tenant's data (review
+                # finding: cross-tenant exposure on upgraded deployments).
+                try:
+                    path.parent.mkdir(parents=True, exist_ok=True)
+                    legacy.rename(path)
+                    logger.info("migrated legacy store dir %s -> %s",
+                                legacy, path)
+                except OSError:
+                    # lost a migration race or read-only FS: if the new
+                    # path materialized, use it; else serve legacy in place
+                    if not (path / "manifest.json").exists():
+                        return legacy
         return path
 
     def _make_store(self, path: Path, config: VectorStoreConfig | None):
