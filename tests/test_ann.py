@@ -141,7 +141,7 @@ class TestStoreANNIntegration:
     def make_store(self, path, d=24, **ann):
         cfg = VectorStoreConfig(
             dimension=d, enable_ann=True, persist_mode="lazy",
-            ann_params={"M": 8, "ef_construction": 64, "ef_search": 64, **ann})
+            ann_params={"index_type": "beam_graph", "M": 8, "ef_construction": 64, "ef_search": 64, **ann})
         return TPUVectorStore(path, cfg)
 
     def test_ann_query_path(self, tmp_store_path, rng):
@@ -239,7 +239,7 @@ class TestNativeBuilder:
             pytest.skip("no g++ / native lib")
         cfg = VectorStoreConfig(
             dimension=24, enable_ann=True, persist_mode="off",
-            ann_params={"M": 8, "ef_construction": 64, "ef_search": 64,
+            ann_params={"index_type": "beam_graph", "M": 8, "ef_construction": 64, "ef_search": 64,
                         "build_backend": "cpu"})
         store = TPUVectorStore(tmp_store_path, cfg)
         vecs = rng.standard_normal((1500, 24)).astype(np.float32)

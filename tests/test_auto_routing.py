@@ -1,0 +1,137 @@
+"""index_type='auto' — automatic engine selection (VERDICT r2 item 2).
+
+The routing table under test is the measured one from BENCHMARKS.md
+("store routing guidance"): flat below the exact-scan crossover, IVF for
+batch-1 latency above it, exact scan for high-batch below the ~10M
+crossover regardless of the built index. The reference's analog was the
+HNSW -> brute-force row-threshold route
+(service/optimized_vector_store.py:116-145).
+"""
+
+import numpy as np
+import pytest
+
+from tpu_vector_db.store.config import VectorStoreConfig
+from tpu_vector_db.store.vector_store import TPUVectorStore
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(7)
+
+
+def clustered(rng, n, d, centers=16, spread=0.08):
+    c = rng.standard_normal((centers, d)).astype(np.float32)
+    pts = c[rng.integers(0, centers, n)] + \
+        spread * rng.standard_normal((n, d)).astype(np.float32)
+    return pts.astype(np.float32)
+
+
+def make_auto_store(path, rng, n, d=32, flat_rows=500, **extra):
+    cfg = VectorStoreConfig(
+        dimension=d, metric="cosine", enable_ann=True, persist_mode="off",
+        ann_params={"auto_flat_rows": flat_rows, "n_clusters": 16,
+                    "nprobe": 16, "self_check": False, **extra})
+    store = TPUVectorStore(path, cfg)
+    x = clustered(rng, n, d)
+    store.add_vectors(x, [{"i": i} for i in range(n)])
+    return store, x
+
+
+def spy_ann(store):
+    calls = {"n": 0}
+    orig = store._ann_batch_query
+
+    def wrapper(*a, **kw):
+        calls["n"] += 1
+        return orig(*a, **kw)
+
+    store._ann_batch_query = wrapper
+    return calls
+
+
+class TestAutoResolution:
+    def test_small_store_stays_flat(self, tmp_path, rng):
+        store, x = make_auto_store(tmp_path / "s", rng, n=300)
+        assert store._ann is None
+        assert store.get_stats()["index_type"] == "flat"
+        assert store.get_stats()["index_type_requested"] == "auto"
+        ids, scores, _ = store.query(x[17], k=3)
+        assert ids[0] == 17 and scores[0] > 0.999
+
+    def test_large_store_resolves_ivf(self, tmp_path, rng):
+        store, x = make_auto_store(tmp_path / "s", rng, n=1200)
+        assert store.get_stats()["index_type"] == "ivf"
+        calls = spy_ann(store)
+        ids, scores, _ = store.query(x[41], k=5)
+        assert calls["n"] == 1, "batch-1 above crossover must use IVF"
+        assert ids[0] == 41 and scores[0] > 0.99
+
+    def test_growth_promotes_flat_to_ivf(self, tmp_path, rng):
+        store, x = make_auto_store(tmp_path / "s", rng, n=300)
+        assert store.get_stats()["index_type"] == "flat"
+        more = clustered(rng, 400, 32)
+        store.add_vectors(more)
+        assert store.get_stats()["index_type"] == "ivf"
+        ids, _, _ = store.query(more[10], k=1)
+        assert ids[0] == 310
+
+    def test_optimize_reroutes_after_clear(self, tmp_path, rng):
+        store, x = make_auto_store(tmp_path / "s", rng, n=1200)
+        assert store.get_stats()["index_type"] == "ivf"
+        store.clear()
+        store.add_vectors(clustered(rng, 100, 32))
+        store.optimize()
+        assert store.get_stats()["index_type"] == "flat"
+
+    def test_explicit_flat_never_builds(self, tmp_path, rng):
+        cfg = VectorStoreConfig(
+            dimension=16, enable_ann=True, persist_mode="off",
+            ann_params={"index_type": "flat"})
+        store = TPUVectorStore(tmp_path / "s", cfg)
+        store.add_vectors(clustered(rng, 800, 16))
+        assert store._ann is None
+
+    def test_bad_index_type_rejected(self):
+        with pytest.raises(ValueError, match="index_type"):
+            VectorStoreConfig(dimension=8,
+                              ann_params={"index_type": "hnswlib"})
+
+
+class TestAutoQueryRouting:
+    def test_high_batch_routes_to_exact(self, tmp_path, rng):
+        store, x = make_auto_store(tmp_path / "s", rng, n=1200)
+        calls = spy_ann(store)
+        res = store.batch_query(x[:32], k=5)
+        assert calls["n"] == 0, "batch >= 32 below crossover must go exact"
+        assert all(res[i][0][0] == i for i in range(32))
+        store.batch_query(x[:4], k=5)
+        assert calls["n"] == 1, "low batch keeps the IVF path"
+
+    def test_explicit_ivf_keeps_index_at_high_batch(self, tmp_path, rng):
+        cfg = VectorStoreConfig(
+            dimension=32, enable_ann=True, persist_mode="off",
+            ann_params={"index_type": "ivf", "n_clusters": 16, "nprobe": 16,
+                        "self_check": False})
+        store = TPUVectorStore(tmp_path / "s", cfg)
+        x = clustered(rng, 1200, 32)
+        store.add_vectors(x)
+        calls = spy_ann(store)
+        store.batch_query(x[:32], k=5)
+        assert calls["n"] == 1, "operator's explicit choice is respected"
+
+    def test_auto_recall_gate(self, tmp_path, rng):
+        """BASELINE gate shape at CPU scale: the auto store must serve
+        >= 0.95 recall@10 out of the box on tight-clustered data (the
+        regime where the graph family needed operator knowledge to avoid,
+        VERDICT r2 weak #1)."""
+        store, x = make_auto_store(tmp_path / "s", rng, n=4000, d=48)
+        assert store.get_stats()["index_type"] == "ivf"
+        q = x[rng.integers(0, 4000, 20)]
+        hits = total = 0
+        for row in q:
+            ids, _, _ = store.query(row, k=10)            # auto (IVF)
+            exact, _, _ = store.query(row, k=10, use_ann=False)
+            hits += len(set(ids) & set(exact))
+            total += 10
+        assert hits / total >= 0.95, hits / total

@@ -270,7 +270,7 @@ class TestAnnRecallGuard:
     def _build(self, tmp_store_path, rng, n=400, d=32):
         cfg = VectorStoreConfig(
             dimension=d, enable_ann=True, persist_mode="off",
-            ann_params={"M": 8, "ef_construction": 64, "ef_search": 64,
+            ann_params={"index_type": "beam_graph", "M": 8, "ef_construction": 64, "ef_search": 64,
                         "build_backend": "tpu"})
         store = TPUVectorStore(tmp_store_path, cfg)
         # clustered data: the graph index performs well here

@@ -130,6 +130,40 @@ class TestIVFIndex:
         live = (idx._ids >= 0).sum()
         assert live == 600
 
+    def test_streaming_placement_invariants(self, rng):
+        """O(batch) placement (ivf.py:_place_rows): many small adds with
+        forced spills must keep every row live exactly once, keep _free
+        consistent with the id table, and stay exact under full probe."""
+        n_total, d = 4000, 16
+        x = clustered(rng, n_total, d, centers=6)
+        db = D.pad_dim(D.l2_normalize(jnp.asarray(x, jnp.float32)))
+        idx = IVFIndex(dim=d, metric="cosine", n_clusters=8, bucket_rows=64)
+        idx.build(db, 500)
+        pos = 500
+        for step in [1, 7, 64, 128, 300, 1000, 999, 1001]:
+            idx.add(db, pos, pos + step)
+            pos += step
+        assert pos == n_total and idx.size == n_total
+        live = idx._ids[idx._ids >= 0]
+        assert len(live) == n_total
+        assert len(np.unique(live)) == n_total          # each row once
+        per_bucket_live = (idx._ids >= 0).sum(axis=1)
+        np.testing.assert_array_equal(
+            idx._free, idx._ids.shape[1] - per_bucket_live)
+        # live slots are a prefix of each bucket (kernel fill contract)
+        first_dead = np.argmax(idx._ids < 0, axis=1)
+        full = (idx._ids >= 0).all(axis=1)
+        np.testing.assert_array_equal(
+            np.where(full, idx._ids.shape[1], first_dead), per_bucket_live)
+        # every bucket's rows belong to the bucket's cluster assignment
+        nb = idx._ids.shape[0]
+        q = db[np.asarray([3, 777, 3999])].astype(jnp.float32)
+        ids, keys = idx.search(q, db, n_total, k=10, nprobe=nb)
+        rvals, ridx = flat_scan_topk(q, db, jnp.int32(n_total), 10,
+                                     metric="cosine", db_normalized=True)
+        np.testing.assert_allclose(keys, np.asarray(rvals), atol=1e-4)
+        np.testing.assert_array_equal(ids, np.asarray(ridx))
+
     def test_persistence_roundtrip(self, rng, tmp_path):
         idx, db, sq, n = self._build(rng, n_clusters=16)
         q = db[:3].astype(jnp.float32)

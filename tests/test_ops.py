@@ -176,6 +176,38 @@ class TestPallasScan:
         assert live.sum() == 5
         assert np.all(idx[0][live] < 5)
 
+    @pytest.mark.parametrize("k", [10, 100])
+    def test_pallas_int8_matches_scan(self, rng, k):
+        """int8 capacity mode through the fused kernel: the DMA stays
+        int8 (half of bf16's bytes); the kernel widens in VMEM. Keys must
+        match the XLA int8 scan exactly up to bf16 query rounding."""
+        from tpu_vector_db.ops.pallas_scan import pallas_flat_topk
+        n, d, qn = 2048, 64, 4
+        count = 2000
+        db = rng.standard_normal((n, d)).astype(np.float32)
+        q = rng.standard_normal((qn, d)).astype(np.float32)
+        dbj = D.l2_normalize(jnp.asarray(db))
+        qj = D.l2_normalize(jnp.asarray(q))
+        db8 = jnp.clip(jnp.round(dbj * 127.0), -127, 127).astype(jnp.int8)
+        vals, idx = pallas_flat_topk(
+            qj, db8, np.int32(count), k, metric="cosine",
+            block_rows=512, interpret=True)
+        rvals, ridx = flat_scan_topk(
+            qj, db8, jnp.int32(count), k, metric="cosine",
+            db_normalized=True, block_rows=512)
+        # int8 values are integers <= 127: exact in bf16, so the only
+        # divergence is the query's f32->bf16 rounding
+        np.testing.assert_allclose(np.asarray(vals) / 127.0,
+                                   np.asarray(rvals) / 127.0, atol=5e-3)
+        # bf16 rounding swaps near-tied ranks, so gate via SCORE recall
+        # (CLAUDE.md r2 lesson), not id agreement: every selected row's
+        # exact f32 score must reach the f32 ground-truth k-th score
+        gt = np.asarray(qj, np.float32) @ np.asarray(
+            db8[:count], np.float32).T
+        kth = np.sort(gt, axis=1)[:, -k]
+        sel = np.take_along_axis(gt, np.asarray(idx), axis=1)
+        assert np.all(sel >= kth[:, None] - 1.0), (sel.min(), kth)
+
     def test_pallas_k_cap(self, rng):
         from tpu_vector_db.ops.pallas_scan import pallas_flat_topk
         with pytest.raises(ValueError):

@@ -204,7 +204,7 @@ class TestShardedANN:
         cfg = VectorStoreConfig(
             dimension=d, block_rows=128, initial_capacity=128,
             persist_mode="off", enable_ann=True,
-            ann_params={"M": 8, "ef_construction": 64, "ef_search": 64})
+            ann_params={"index_type": "beam_graph", "M": 8, "ef_construction": 64, "ef_search": 64})
         store = ShardedVectorStore(tmp_path / "sann", cfg,
                                    mesh=make_device_mesh(8))
         store.add_vectors(vecs, [{"g": i % 3} for i in range(n)])
@@ -236,7 +236,7 @@ class TestShardedANN:
         cfg = VectorStoreConfig(
             dimension=d, block_rows=64, initial_capacity=64,
             persist_mode="off", enable_ann=True,
-            ann_params={"M": 8, "ef_construction": 64, "ef_search": 64})
+            ann_params={"index_type": "beam_graph", "M": 8, "ef_construction": 64, "ef_search": 64})
         store = ShardedVectorStore(tmp_path / "s2", cfg,
                                    mesh=make_device_mesh(8))
         vecs = rng.standard_normal((900, d)).astype(np.float32)
@@ -258,7 +258,7 @@ class TestShardedANN:
         cfg = VectorStoreConfig(
             dimension=d, block_rows=64, initial_capacity=64,
             persist_mode="off", enable_ann=True,
-            ann_params={"M": 8, "ef_construction": 64, "ef_search": 64,
+            ann_params={"index_type": "beam_graph", "M": 8, "ef_construction": 64, "ef_search": 64,
                         "self_check": False})
         store = ShardedVectorStore(tmp_path / "inc", cfg,
                                    mesh=make_device_mesh(8))
@@ -397,7 +397,7 @@ class TestShardedAnnPersistence:
         x = rng.standard_normal((400, 24)).astype(np.float32)
         cfg = VectorStoreConfig(
             dimension=24, metric="cosine", enable_ann=True,
-            ann_params={"min_rows": 0, "M": 4, "ef_construction": 32,
+            ann_params={"min_rows": 0, "index_type": "beam_graph", "M": 4, "ef_construction": 32,
                         "self_check": False})
         s = ShardedVectorStore(tmp_path / "pg", cfg,
                                mesh=make_device_mesh(8))
@@ -452,7 +452,7 @@ def test_sharded_graph_reload_then_extend(tmp_path, rng):
     x = rng.standard_normal((500, 24)).astype(np.float32)
     cfg = VectorStoreConfig(
         dimension=24, metric="cosine", enable_ann=True,
-        ann_params={"min_rows": 0, "M": 4, "ef_construction": 32,
+        ann_params={"min_rows": 0, "index_type": "beam_graph", "M": 4, "ef_construction": 32,
                     "self_check": False})
     s = ShardedVectorStore(tmp_path / "pge", cfg,
                            mesh=make_device_mesh(8))

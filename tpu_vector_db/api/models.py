@@ -26,6 +26,9 @@ class IndexType(str, Enum):
     beam_graph = "beam_graph"   # the TPU ANN graph index (HNSW-class)
     hnsw = "hnsw"               # accepted alias for reference compatibility
     ivf = "ivf"                 # k-means + bucket-streamed probe scan
+    auto = "auto"               # measured routing: flat below the exact-scan
+    #                             crossover, IVF above it (vector_store.py
+    #                             _auto_pick_kind)
 
 
 class VectorAddRequest(BaseModel):

@@ -33,12 +33,18 @@ async def create_store(request: web.Request) -> web.Response:
     body = await parse_model(request, CreateStoreRequest)
     manager = request.app["manager"]
     ann_params = dict(body.ann_params or VectorStoreConfig().ann_params)
-    if body.index_type.value == "ivf":
-        ann_params.setdefault("index_type", "ivf")
+    itype = body.index_type.value
+    if itype in ("beam_graph", "hnsw"):
+        # the hnsw alias must pin the graph family explicitly — the store's
+        # in-config default is now 'auto' (flat/IVF routing)
+        ann_params.setdefault("index_type", "beam_graph")
+    elif itype in ("ivf", "auto"):
+        ann_params.setdefault("index_type", itype)
     cfg = VectorStoreConfig(
         dimension=body.dimension,
         metric=body.metric.value,
-        enable_ann=(body.index_type.value in ("beam_graph", "hnsw", "ivf")),
+        enable_ann=(body.index_type.value in
+                    ("beam_graph", "hnsw", "ivf", "auto")),
         storage_dtype=body.storage_dtype,
         ann_params=ann_params,
     )

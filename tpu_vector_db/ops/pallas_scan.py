@@ -75,6 +75,12 @@ def _scan_kernel(count_ref, q_ref, db_ref, sq_ref, mask_ref, vals_ref,
 
     q = q_ref[:]                                   # (Q, d) VMEM
     block = db_ref[:]                              # (B, d) VMEM (pipelined)
+    if block.dtype == jnp.int8:
+        # int8 capacity mode: the DMA moved half the bytes of bf16; the
+        # VPU widens in VMEM (int8 values are integers <= 127, exact in
+        # bf16) and the MXU runs bf16 as usual. The XLA scan converted
+        # through HBM and ran conversion-bound at ~197 GB/s (VERDICT r2).
+        block = block.astype(jnp.bfloat16)
     cross = jnp.dot(q, block.T, preferred_element_type=jnp.float32)
     if metric == "euclidean":
         scores = 2.0 * cross - sq_ref[:][None, :]  # rank-equivalent key
@@ -224,6 +230,8 @@ def _scan_kernel_bigk(count_ref, q_ref, db_ref, sq_ref, mask_ref, vals_ref,
 
     q = q_ref[:]
     block = db_ref[:]
+    if block.dtype == jnp.int8:
+        block = block.astype(jnp.bfloat16)  # see _scan_kernel int8 note
     cross = jnp.dot(q, block.T, preferred_element_type=jnp.float32)
     if metric == "euclidean":
         scores = 2.0 * cross - sq_ref[:][None, :]
@@ -270,7 +278,11 @@ def _scan_kernel_bigk(count_ref, q_ref, db_ref, sq_ref, mask_ref, vals_ref,
         best_vals[:] = cv[:, :kp]
         best_idx[:] = ci[:, :kp]
         thr = cv[:, k - 1]
-        return jnp.any(masked > thr[:, None, None])
+        # compare in 2-D: the 3-D form thr[:, None, None] asks Mosaic to
+        # broadcast across sublanes AND lanes at Q=1 ("Not implemented:
+        # Broadcast in both sublanes and lanes"); (Q, B) vs (Q, 1) is the
+        # same lane-only pattern the need0 check uses
+        return jnp.any(masked.reshape(q_n, block_rows) > thr[:, None])
 
     jax.lax.while_loop(lambda more: more, round_body, need0)
 
@@ -304,7 +316,9 @@ def pallas_flat_topk(queries, db, count, k: int, metric: str = "cosine",
     kp = max(_next_pow2(k), 128) if bigk else k
     assert not bigk or block // _SEG <= kp, (block, kp)
 
-    q = queries.astype(db.dtype)
+    # int8 capacity mode keeps queries bf16 (casting unit-norm queries to
+    # int8 would floor them to zero); the kernel widens the db block in VMEM
+    q = queries.astype(jnp.bfloat16 if db.dtype == jnp.int8 else db.dtype)
     if db_sqnorms is None:
         # dummy streamed input keeps the kernel signature uniform
         db_sqnorms = jnp.zeros((n_pad,), jnp.float32)

@@ -206,8 +206,16 @@ class ShardedVectorStore(TPUVectorStore):
         from tpu_vector_db.index import native
         if self._count == 0:
             return
-        if self.config.ann_params.get("index_type") == "ivf":
+        if self.config.ann_params.get("index_type", "auto") in ("auto",
+                                                                "ivf"):
+            # a sharded store exists because the corpus outgrew one chip —
+            # that is exactly the N >> 1M regime where IVF wins the routing
+            # table (BENCHMARKS.md), so 'auto' resolves to IVF here
             self._refresh_sharded_ivf(incremental_from)
+            return
+        if self.config.ann_params.get("index_type") == "flat":
+            self._ann = None
+            self._ann_stale = False
             return
         if not native.available():
             logger.warning("sharded ANN needs the native builder; "

@@ -70,6 +70,10 @@ class VectorStoreConfig:
                     "(disable ANN or use bfloat16)")
         if self.dimension < 1 or self.dimension > 8192:
             raise ValueError(f"dimension out of range: {self.dimension}")
+        itype = self.ann_params.get("index_type", "auto")
+        if itype not in ("auto", "flat", "beam_graph", "ivf"):
+            raise ValueError(
+                f"index_type must be auto|flat|beam_graph|ivf, got {itype!r}")
 
     def to_dict(self) -> dict:
         return asdict(self)

@@ -231,6 +231,9 @@ class TPUVectorStore:
         # ANN index (built lazily; see index/beam_graph.py)
         self._ann = None
         self._ann_stale = True
+        # auto engine selection: resolved lazily from store size, re-checked
+        # on every full (re)build / optimize(); see _auto_pick_kind
+        self._auto_kind: str | None = None
         # post-build sampled-recall guard (graph ANN silently degrades on
         # e.g. uniform high-dim data — distance concentration)
         self._ann_recall_estimate: float | None = None
@@ -352,6 +355,7 @@ class TPUVectorStore:
             self._sqnorms = None
             self._ann = None
             self._ann_stale = True
+            self._auto_kind = None
             self._dirty = False
 
     # ---------------------------------------------------------------- query
@@ -372,9 +376,6 @@ class TPUVectorStore:
     def _use_pallas(self, k: int, filtered: bool) -> bool:
         if not getattr(self.config, "use_pallas", True):
             return False
-        if self._dtype == jnp.int8:
-            return False  # int8 scores via the XLA scan (measured: int8 on
-            # the MXU is slower than bf16 anyway; int8 is a capacity mode)
         if jax.default_backend() != "tpu":
             return False
         from tpu_vector_db.ops.pallas_scan import (
@@ -486,7 +487,20 @@ class TPUVectorStore:
             fetch_k = min(self._count, k_eff * 10) if filter_metadata \
                 else k_eff
             ivf_large_k = (self._ann_kind == "ivf" and fetch_k > 32)
+            # auto-mode batch routing (BENCHMARKS.md): at 1M x 768D batch-64
+            # the exact sweep measures 4.43 ms vs IVF's 9.59 ms — one HBM
+            # sweep amortized over the batch beats 64x nprobe bucket
+            # gathers below the ~10M-row crossover. Only applies when the
+            # operator delegated the choice (index_type='auto').
+            auto_mode = (self.config.ann_params.get("index_type", "auto")
+                         == "auto")
+            high_batch_flat = (
+                auto_mode and n_q >= self.config.ann_params.get(
+                    "auto_batch_flat_q", 32)
+                and self._count <= self.config.ann_params.get(
+                    "auto_batch_flat_rows", 2_000_000))
             if (use_ann and self.config.enable_ann and not ivf_large_k and
+                    not high_batch_flat and
                     self._ann is not None and self._count >= min_rows and
                     not self._ann_low_recall):
                 try:
@@ -510,9 +524,37 @@ class TPUVectorStore:
 
     @property
     def _ann_kind(self) -> str:
-        """'beam_graph' (hnswlib-contract graph) or 'ivf' (k-means inverted
-        file — seconds-scale MXU build, bucket-streamed probes)."""
-        return self.config.ann_params.get("index_type", "beam_graph")
+        """'beam_graph' (hnswlib-contract graph), 'ivf' (k-means inverted
+        file — seconds-scale MXU build, bucket-streamed probes), or 'flat'
+        (no index: the exact fused scan serves everything).
+
+        index_type='auto' (the default) resolves from measured routing
+        signals — see _auto_pick_kind. The reference auto-routed HNSW to
+        brute force below a row threshold
+        (service/optimized_vector_store.py:116-145); this generalizes that
+        to the richer engine set."""
+        requested = self.config.ann_params.get("index_type", "auto")
+        if requested != "auto":
+            return requested
+        if self._auto_kind is None:
+            self._auto_kind = self._auto_pick_kind()
+        return self._auto_kind
+
+    def _auto_pick_kind(self) -> str:
+        """Routing table measured in BENCHMARKS.md ("store routing
+        guidance"): flat below the exact-scan crossover (the fused kernel
+        sweeps 1M x 768D in ~3.4 ms, so an index only pays off past
+        ~100K rows for batch-1 latency); IVF above it (batch-1 0.94 ms @ 1M
+        at recall 1.0 — beats the graph on BOTH recall and latency on every
+        measured regime, incl. tight clusters where the graph needs ef=200
+        for 0.95). The beam graph stays an explicit opt-in
+        (index_type='beam_graph') for filtered+incremental workloads that
+        want graph semantics. High-batch queries re-route to the exact scan
+        at query time (batch_query) regardless of the built index."""
+        flat_rows = self.config.ann_params.get("auto_flat_rows", 100_000)
+        if self._count < flat_rows:
+            return "flat"
+        return "ivf"
 
     def _make_ann(self):
         p = self.config.ann_params
@@ -549,6 +591,18 @@ class TPUVectorStore:
         optimized_vector_store.py:110-113). The index searches against the
         store's own device matrix; it never copies vector data."""
         if self._count == 0:
+            return
+        if self.config.ann_params.get("index_type", "auto") == "auto":
+            # re-evaluate the routing on every refresh: a store growing past
+            # the flat crossover promotes to IVF (full build), one shrinking
+            # below it (clear/rebuild) demotes back to the exact scan
+            new_kind = self._auto_pick_kind()
+            if new_kind != self._auto_kind:
+                self._auto_kind = new_kind
+                self._ann = None
+        if self._ann_kind == "flat":
+            self._ann = None
+            self._ann_stale = False
             return
         if self._ann is None:
             self._ann = self._make_ann()
@@ -740,11 +794,14 @@ class TPUVectorStore:
         self._meta_index.rebuild(metadata)
         self._reset_device(self._capacity_for(n))
         if self.config.enable_ann:
-            self._ann = self._make_ann()
-            if self._ann.load(self.store_path) and self._ann.size == n:
+            if self._ann_kind == "flat":   # auto below the crossover
                 self._ann_stale = False
             else:
-                self._refresh_ann()
+                self._ann = self._make_ann()
+                if self._ann.load(self.store_path) and self._ann.size == n:
+                    self._ann_stale = False
+                else:
+                    self._refresh_ann()
 
     def get_vectors(self, indices: list[int] | None = None) -> np.ndarray:
         with self._lock:
@@ -763,6 +820,8 @@ class TPUVectorStore:
                 "metric": self.metric,
                 "index_type": self._ann_kind if (self.config.enable_ann and
                                                  self._ann is not None) else "flat",
+                "index_type_requested": self.config.ann_params.get(
+                    "index_type", "auto"),
                 "storage_dtype": self.config.storage_dtype,
                 "device_capacity": self._cap,
                 "ann_recall_estimate": self._ann_recall_estimate,
