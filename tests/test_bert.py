@@ -184,3 +184,63 @@ class TestFlaxBertParity:
         tok = WordPieceTokenizer(d / "vocab.txt")
         last_live = int(mask[0].sum()) - 1
         assert ids[0, last_live] == tok.sep_id  # [SEP] survived truncation
+
+
+class TestInt8Quantization:
+    """Per-channel int8 weight quantization (VERDICT r2 item 6): any HF
+    checkpoint quantizes at load; embeddings must stay >= 0.99 cosine vs
+    the f32 forward (the gate VERDICT specified), params shrink ~4x."""
+
+    def test_quantized_forward_cosine(self, tiny_hf_checkpoint):
+        import jax.numpy as jnp
+
+        from tpu_vector_db.pipeline import bert
+
+        d, _ = tiny_hf_checkpoint
+        cfg = bert.BertConfig.from_hf_dir(d)
+        tok = WordPieceTokenizer(d / "vocab.txt")
+        ids, mask = tok.encode_batch(
+            ["the quick brown fox jumps over the lazy dog",
+             "hello world !", "unbelievable runner running 2024",
+             "vector database search engine"], seq_len=16)
+
+        f32_mod = bert.make_bert_module(cfg, compute_dtype=jnp.float32)
+        f32_params = bert.load_hf_params(d, cfg)
+        ref = np.asarray(bert.pool_hidden(
+            f32_mod.apply(f32_params, jnp.asarray(ids), jnp.asarray(mask)),
+            jnp.asarray(mask), "mean"), np.float32)
+
+        q_mod = bert.make_bert_module(cfg, compute_dtype=jnp.float32,
+                                      quantized=True)
+        q_params = bert.quantize_params(f32_params)
+        got = np.asarray(bert.pool_hidden(
+            q_mod.apply(q_params, jnp.asarray(ids), jnp.asarray(mask)),
+            jnp.asarray(mask), "mean"), np.float32)
+
+        cos = np.sum(ref * got, axis=-1)  # both unit-norm
+        assert np.all(cos >= 0.99), cos
+
+        f32_b = bert.param_bytes(f32_params)
+        q_b = bert.param_bytes(q_params)
+        assert q_b < 0.35 * f32_b, (q_b, f32_b)
+
+    def test_encoder_quantized_end_to_end(self, tiny_hf_checkpoint):
+        from tpu_vector_db.pipeline.encoders import create_encoder
+
+        d, _ = tiny_hf_checkpoint
+        enc_f32 = create_encoder(f"hf:{d}", dtype="float32")
+        enc_q = create_encoder(f"hf:{d}", dtype="float32", quantize="int8")
+        texts = ["the quick brown fox", "hello world",
+                 "vector database search engine"]
+        ref = enc_f32.encode(texts)
+        got = enc_q.encode(texts)
+        cos = np.sum(ref * got, axis=-1)
+        assert np.all(cos >= 0.99), cos
+
+    def test_bad_quantize_value_rejected(self, tiny_hf_checkpoint):
+        from tpu_vector_db.pipeline.encoders import create_encoder
+
+        d, _ = tiny_hf_checkpoint
+        enc = create_encoder(f"hf:{d}", quantize="int4")
+        with pytest.raises(ValueError, match="quantize"):
+            enc.load()

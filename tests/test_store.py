@@ -183,6 +183,86 @@ class TestPersistence:
         assert len(reloaded) == 0
 
 
+class TestCrashConsistency:
+    """Torn-write recovery (VERDICT r2 item 10): a writer killed mid-_save
+    must leave a store that reopens to the last committed state; partial
+    tmp files and stale/corrupt ANN sidecars must never poison a load."""
+
+    def test_partial_tmp_files_ignored(self, tmp_store_path, rng):
+        store, vecs = make_store(tmp_store_path, n=30, rng=rng,
+                                 persist_mode="sync")
+        del store
+        for name in ("vectors.npz.tmp", "metadata.jsonl.tmp",
+                     "manifest.json.tmp"):
+            (tmp_store_path / name).write_bytes(b"\x00half-written\x00")
+        reloaded = TPUVectorStore(tmp_store_path)
+        assert len(reloaded) == 30
+        ids, scores, meta = reloaded.query(vecs[7], k=1)
+        assert ids[0] == 7 and meta[0]["id"] == "doc_7"
+
+    def test_vectors_ahead_of_manifest_trims_to_committed(
+            self, tmp_store_path, rng):
+        """Crash window between the vectors.npz replace and the manifest
+        replace: vectors holds uncommitted rows. The loader serves the
+        manifest's committed prefix (persistence.py load_store)."""
+        from tpu_vector_db.utils.fs import atomic_save_npz
+        store, vecs = make_store(tmp_store_path, n=50, rng=rng,
+                                 persist_mode="sync")
+        del store
+        extra = rng.standard_normal((20, 32)).astype(np.float32)
+        torn = np.concatenate([vecs, extra]).astype(np.float32)
+        atomic_save_npz(tmp_store_path / "vectors.npz", vectors=torn)
+        reloaded = TPUVectorStore(tmp_store_path)
+        assert len(reloaded) == 50          # uncommitted tail dropped
+        ids, _, meta = reloaded.query(vecs[49], k=1)
+        assert ids[0] == 49 and meta[0]["id"] == "doc_49"
+
+    def test_writer_killed_mid_save(self, tmp_store_path, rng, monkeypatch):
+        """Simulate the process dying inside _save after vectors.npz lands
+        but before the manifest commit: the next open serves the previous
+        committed add, with metadata aligned."""
+        import tpu_vector_db.store.persistence as P
+        store, vecs = make_store(tmp_store_path, n=40, rng=rng,
+                                 persist_mode="sync")
+
+        real_write = P.atomic_write_bytes
+
+        def dying_write(path, data):
+            if str(path).endswith("manifest.json"):
+                raise OSError("simulated crash before manifest commit")
+            real_write(path, data)
+
+        monkeypatch.setattr(P, "atomic_write_bytes", dying_write)
+        extra = rng.standard_normal((15, 32)).astype(np.float32)
+        with pytest.raises(OSError):
+            store.add_vectors(extra, [{"id": f"new_{i}"} for i in range(15)])
+        monkeypatch.undo()
+
+        reloaded = TPUVectorStore(tmp_store_path)
+        assert len(reloaded) == 40
+        ids, _, meta = reloaded.query(vecs[3], k=1)
+        assert ids[0] == 3 and meta[0]["id"] == "doc_3"
+        # and the store keeps working after recovery
+        reloaded.add_vectors(extra, [{"id": f"new_{i}"} for i in range(15)])
+        assert len(reloaded) == 55
+
+    def test_corrupt_ivf_sidecar_rebuilds(self, tmp_path, rng):
+        p = tmp_path / "ivfcrash"
+        cfg = VectorStoreConfig(
+            dimension=32, enable_ann=True, persist_mode="sync",
+            ann_params={"index_type": "ivf", "n_clusters": 8, "nprobe": 8,
+                        "self_check": False})
+        store = TPUVectorStore(p, cfg)
+        x = rng.standard_normal((600, 32)).astype(np.float32)
+        store.add_vectors(x)
+        del store
+        (p / "ann_ivf.npz").write_bytes(b"torn sidecar bytes")
+        reloaded = TPUVectorStore(p)
+        assert reloaded.get_stats()["index_type"] == "ivf"  # rebuilt
+        ids, scores, _ = reloaded.query(x[123], k=1)
+        assert ids[0] == 123 and scores[0] > 0.99
+
+
 class TestOps:
     def test_stats(self, tmp_store_path, rng):
         store, _ = make_store(tmp_store_path, n=20, rng=rng)

@@ -53,22 +53,70 @@ class BertConfig:
 
 # --------------------------------------------------------------- the model
 
-def make_bert_module(cfg: BertConfig, compute_dtype=jnp.bfloat16):
+def make_bert_module(cfg: BertConfig, compute_dtype=jnp.bfloat16,
+                     quantized: bool = False):
     """Build the Flax module. Param tree layout is chosen so the HF mapping
     in load_hf_params is positional-free: one named submodule per HF tensor
-    group."""
+    group.
+
+    quantized=True swaps every Dense/Embed for its int8 per-channel
+    variant (kernel_q int8 + scale f32, dequantized at apply time); pair
+    with quantize_params. Weights live in HBM at 1/4 the f32 footprint —
+    the role the reference's 4-bit community checkpoints played
+    (integrations/mlx_lm_pipeline.py:54-78) without needing special model
+    files: any HF checkpoint quantizes at load."""
     import flax.linen as nn
 
     dtype = compute_dtype
     head_dim = cfg.hidden_size // cfg.num_attention_heads
 
+    class QuantDense(nn.Module):
+        """int8 weights, per-OUTPUT-channel symmetric scales. XLA fuses the
+        widen+scale into the matmul operand read, so the dequantized kernel
+        is never materialized in HBM."""
+        features: int
+
+        @nn.compact
+        def __call__(self, x):
+            in_f = x.shape[-1]
+            kq = self.param("kernel_q", nn.initializers.zeros_init(),
+                            (in_f, self.features), jnp.int8)
+            scale = self.param("scale", nn.initializers.ones_init(),
+                               (self.features,), jnp.float32)
+            bias = self.param("bias", nn.initializers.zeros_init(),
+                              (self.features,), jnp.float32)
+            k = (kq.astype(jnp.float32) * scale[None, :]).astype(dtype)
+            y = jnp.dot(x.astype(dtype), k)
+            return y + bias.astype(dtype)
+
+    class QuantEmbed(nn.Module):
+        num_embeddings: int
+        features: int
+
+        @nn.compact
+        def __call__(self, ids):
+            eq = self.param("embedding_q", nn.initializers.zeros_init(),
+                            (self.num_embeddings, self.features), jnp.int8)
+            scale = self.param("scale", nn.initializers.ones_init(),
+                               (self.features,), jnp.float32)
+            return (eq[ids].astype(jnp.float32)
+                    * scale[None, :]).astype(dtype)
+
+    def DenseM(features, name):
+        return (QuantDense(features, name=name) if quantized
+                else nn.Dense(features, dtype=dtype, name=name))
+
+    def EmbedM(num, features, name):
+        return (QuantEmbed(num, features, name=name) if quantized
+                else nn.Embed(num, features, name=name, dtype=dtype))
+
     class Layer(nn.Module):
         @nn.compact
         def __call__(self, x, bias):
             b, s, h = x.shape
-            q = nn.Dense(cfg.hidden_size, dtype=dtype, name="query")(x)
-            k = nn.Dense(cfg.hidden_size, dtype=dtype, name="key")(x)
-            v = nn.Dense(cfg.hidden_size, dtype=dtype, name="value")(x)
+            q = DenseM(cfg.hidden_size, name="query")(x)
+            k = DenseM(cfg.hidden_size, name="key")(x)
+            v = DenseM(cfg.hidden_size, name="value")(x)
             q = q.reshape(b, s, cfg.num_attention_heads, head_dim)
             k = k.reshape(b, s, cfg.num_attention_heads, head_dim)
             v = v.reshape(b, s, cfg.num_attention_heads, head_dim)
@@ -79,15 +127,14 @@ def make_bert_module(cfg: BertConfig, compute_dtype=jnp.bfloat16):
             ctx = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(dtype), v,
                              preferred_element_type=jnp.float32)
             ctx = ctx.astype(dtype).reshape(b, s, h)
-            a = nn.Dense(cfg.hidden_size, dtype=dtype, name="attn_out")(ctx)
+            a = DenseM(cfg.hidden_size, name="attn_out")(ctx)
             x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
                              name="attn_layernorm")(x + a)
             x = x.astype(dtype)
-            hdn = nn.Dense(cfg.intermediate_size, dtype=dtype,
-                           name="intermediate")(x)
+            hdn = DenseM(cfg.intermediate_size, name="intermediate")(x)
             # HF "gelu" is the exact erf form; "gelu_new" the tanh approx
             hdn = nn.gelu(hdn, approximate=cfg.hidden_act == "gelu_new")
-            hdn = nn.Dense(cfg.hidden_size, dtype=dtype, name="output")(hdn)
+            hdn = DenseM(cfg.hidden_size, name="output")(hdn)
             x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
                              name="out_layernorm")(x + hdn)
             return x.astype(dtype)
@@ -95,14 +142,13 @@ def make_bert_module(cfg: BertConfig, compute_dtype=jnp.bfloat16):
     class Bert(nn.Module):
         @nn.compact
         def __call__(self, ids, mask):
-            word = nn.Embed(cfg.vocab_size, cfg.hidden_size,
-                            name="word_embeddings", dtype=dtype)(ids)
+            word = EmbedM(cfg.vocab_size, cfg.hidden_size,
+                          name="word_embeddings")(ids)
             pos_ids = jnp.arange(ids.shape[1])[None, :]
-            pos = nn.Embed(cfg.max_position_embeddings, cfg.hidden_size,
-                           name="position_embeddings", dtype=dtype)(pos_ids)
-            typ = nn.Embed(cfg.type_vocab_size, cfg.hidden_size,
-                           name="token_type_embeddings", dtype=dtype)(
-                jnp.zeros_like(ids))
+            pos = EmbedM(cfg.max_position_embeddings, cfg.hidden_size,
+                         name="position_embeddings")(pos_ids)
+            typ = EmbedM(cfg.type_vocab_size, cfg.hidden_size,
+                         name="token_type_embeddings")(jnp.zeros_like(ids))
             x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
                              name="emb_layernorm")(word + pos + typ)
             x = x.astype(dtype)
@@ -188,6 +234,60 @@ def load_hf_params(model_dir: str | Path, cfg: BertConfig,
     logger.info("mapped HF checkpoint %s: %d layers, hidden %d",
                 model_dir, n_layers, cfg.hidden_size)
     return {"params": params}
+
+
+# --------------------------------------------------------- int8 quantization
+
+def quantize_params(variables: dict) -> dict:
+    """f32 param tree (load_hf_params) -> int8 per-channel tree for
+    make_bert_module(quantized=True).
+
+    Symmetric per-output-channel scales for Dense kernels, per-hidden-channel
+    for embedding tables; LayerNorms and biases stay f32 (negligible bytes,
+    load-bearing precision). Equivalent role to the reference's pre-baked
+    4-bit registry (mlx_lm_pipeline.py:54-78), applied at load time to ANY
+    HF checkpoint. Parity gate: embedding cosine >= 0.999 vs the f32 tree
+    (tests/test_bert.py)."""
+
+    def q_matrix(m: np.ndarray):
+        m = np.asarray(m, np.float32)
+        scale = np.maximum(np.max(np.abs(m), axis=0) / 127.0, 1e-12)
+        q = np.clip(np.round(m / scale[None, :]), -127, 127).astype(np.int8)
+        return q, scale.astype(np.float32)
+
+    def q_dense(d):
+        q, s = q_matrix(d["kernel"])
+        return {"kernel_q": jnp.asarray(q), "scale": jnp.asarray(s),
+                "bias": jnp.asarray(d["bias"], jnp.float32)}
+
+    def q_embed(d):
+        q, s = q_matrix(d["embedding"])
+        return {"embedding_q": jnp.asarray(q), "scale": jnp.asarray(s)}
+
+    src = variables["params"]
+    out = {}
+    for name, sub in src.items():
+        if "kernel" in sub:
+            out[name] = q_dense(sub)
+        elif "embedding" in sub:
+            out[name] = q_embed(sub)
+        elif name.startswith("layer_"):
+            out[name] = {
+                inner: (q_dense(block) if "kernel" in block else
+                        {k: jnp.asarray(v, jnp.float32)
+                         for k, v in block.items()})
+                for inner, block in sub.items()
+            }
+        else:  # layernorms
+            out[name] = {k: jnp.asarray(v, jnp.float32)
+                         for k, v in sub.items()}
+    return {"params": out}
+
+
+def param_bytes(variables: dict) -> int:
+    """Total on-device parameter bytes (for the quantization memory row)."""
+    return sum(int(np.prod(x.shape)) * x.dtype.itemsize
+               for x in jax.tree_util.tree_leaves(variables))
 
 
 # ------------------------------------------------------------------ pooling

@@ -48,6 +48,10 @@ class EncoderConfig:
     dtype: str = "bfloat16"
     # local checkpoint directory (flax msgpack / orbax); None = random init
     checkpoint_path: str | None = None
+    # "none" | "int8": per-channel weight quantization at load (BertEncoder;
+    # 4x smaller HBM footprint — the reference served pre-baked 4-bit
+    # checkpoints, mlx_lm_pipeline.py:54-78)
+    quantize: str = "none"
     memory_estimate_mb: int = 100
     use_case: str = "general"
 
@@ -154,11 +158,20 @@ class BaseEncoder:
         return {"warmed": True,
                 "duration_ms": (time.perf_counter() - t0) * 1e3}
 
+    #: device-batch ceiling; subclasses whose _encode pads to fixed batch
+    #: buckets set this so oversized inputs chunk instead of overflowing
+    _max_batch: int | None = None
+
     def encode(self, texts: list[str]) -> np.ndarray:
         if not self._loaded:
             self.load()
         t0 = time.perf_counter()
-        out = self._encode(texts)
+        mb = self._max_batch
+        if mb is not None and len(texts) > mb:
+            out = np.concatenate([self._encode(texts[i: i + mb])
+                                  for i in range(0, len(texts), mb)])
+        else:
+            out = self._encode(texts)
         dt = time.perf_counter() - t0
         self._stats["texts"] += len(texts)
         self._stats["batches"] += 1
@@ -230,6 +243,8 @@ class FlaxTransformerEncoder(BaseEncoder):
     pre-LN self-attention blocks, masked mean pool, normalize. bf16 matmuls
     on the MXU, f32 accumulations. Random-initialized unless
     config.checkpoint_path points at a flax msgpack state."""
+
+    _max_batch = BATCH_BUCKETS[-1]
 
     def __init__(self, config: EncoderConfig, seed: int = 0) -> None:
         super().__init__(config)
@@ -331,6 +346,8 @@ class BertEncoder(BaseEncoder):
     point checkpoint_path at a directory holding config.json + vocab.txt +
     model.safetensors (or pytorch_model.bin)."""
 
+    _max_batch = BATCH_BUCKETS[-1]
+
     def __init__(self, config: EncoderConfig, pooling: str = "mean") -> None:
         super().__init__(config)
         if not config.checkpoint_path:
@@ -352,8 +369,21 @@ class BertEncoder(BaseEncoder):
         dtype = (jnp.bfloat16 if self.config.dtype == "bfloat16"
                  else jnp.float32)
         self._bert_cfg = bcfg
-        self._model = bert.make_bert_module(bcfg, compute_dtype=dtype)
+        quantized = self.config.quantize == "int8"
+        if self.config.quantize not in ("none", "int8"):
+            raise ValueError(
+                f"quantize must be 'none' or 'int8', got "
+                f"{self.config.quantize!r}")
+        self._model = bert.make_bert_module(bcfg, compute_dtype=dtype,
+                                            quantized=quantized)
         self._params = bert.load_hf_params(ckpt, bcfg)
+        if quantized:
+            f32_bytes = bert.param_bytes(self._params)
+            self._params = bert.quantize_params(self._params)
+            logger.info(
+                "int8-quantized %s: %.1f -> %.1f MB params",
+                self.config.name, f32_bytes / 2**20,
+                bert.param_bytes(self._params) / 2**20)
         self._tokenizer = WordPieceTokenizer(ckpt / "vocab.txt")
         self._pool = bert.pool_hidden
 

@@ -70,6 +70,14 @@ def save_store(path: str | Path, vectors: np.ndarray, metadata: list[dict],
     atomic_write_bytes(p / MANIFEST_FILE, json.dumps(manifest, indent=2).encode())
 
 
+def _manifest_count(p: Path) -> int | None:
+    try:
+        manifest = json.loads((p / MANIFEST_FILE).read_text())
+        return int(manifest["count"])
+    except Exception:  # noqa: BLE001 — absent/corrupt manifest: no trim
+        return None
+
+
 def load_store(path: str | Path, config: VectorStoreConfig):
     """Load (vectors, metadata) or (None, None) if absent/corrupt.
 
@@ -92,6 +100,19 @@ def load_store(path: str | Path, config: VectorStoreConfig):
                 f"vectors but config requests {config.dimension}-D; refusing "
                 "to open (pass the matching config or omit it to load from "
                 "the manifest)")
+        # Torn-write recovery: save_store writes vectors -> metadata ->
+        # manifest, each atomically, so the manifest's count is the commit
+        # point. A crash between files can leave vectors.npz AHEAD of the
+        # manifest; trim back to the last committed prefix instead of
+        # serving rows whose metadata/manifest never landed. (Appends are
+        # strictly ordered, so the prefix is exactly the pre-crash state.)
+        committed = _manifest_count(p)
+        if committed is not None and committed < vectors.shape[0]:
+            logger.warning(
+                "store at %s: vectors.npz has %d rows but manifest "
+                "committed %d (torn write); serving the committed prefix",
+                p, vectors.shape[0], committed)
+            vectors = vectors[:committed]
         metadata: list[dict] = []
         if mf.exists():
             with open(mf, "r", encoding="utf-8") as f:
