@@ -51,15 +51,19 @@ REF = {
 }
 
 
-def _engine(db, count, k, metric="cosine"):
+def _engine(count, k, metric="cosine", block=BLOCK):
+    """Returns fn(q, db). db MUST flow in as an argument — a device array
+    captured in a jit closure is embedded as an HLO constant; at 1.5GB that
+    blows the axon tunnel's compile-upload limit (HTTP 413)."""
     if ON_TPU:
         from tpu_vector_db.ops.pallas_scan import pallas_flat_topk
-        return lambda q: pallas_flat_topk(q, db, count, k, metric=metric)
-    sq = (jnp.sum(db.astype(jnp.float32) ** 2, -1)
-          if metric == "euclidean" else None)
-    return lambda q: flat_scan_topk(q, db, count, k, metric=metric,
-                                    db_normalized=True, db_sqnorms=sq,
-                                    block_rows=min(BLOCK, db.shape[0]))
+        return lambda q, db: pallas_flat_topk(q, db, count, k,
+                                              metric=metric)
+    return lambda q, db: flat_scan_topk(
+        q, db, count, k, metric=metric, db_normalized=True,
+        db_sqnorms=(jnp.sum(db.astype(jnp.float32) ** 2, -1)
+                    if metric == "euclidean" else None),
+        block_rows=block)
 
 
 def _normal_db(n_pad, d, dtype=jnp.bfloat16, seed=0, fill=2 ** 19):
@@ -121,25 +125,26 @@ def _clustered_db(n_pad, d, n_centers=4096, seed=0, spread=0.2,
     return buf
 
 
-def _measure_chain(engine, q0, iters, warm=3):
-    """Data-dependency chain + one final D2H; returns s/iteration."""
+def _measure_chain(engine, q0, db, iters, warm=3):
+    """Data-dependency chain + one final D2H; returns s/iteration.
+    db is an explicit step argument (see _engine)."""
 
     @jax.jit
-    def step(q, acc):
-        keys, _ = engine(q)
+    def step(q, acc, db):
+        keys, _ = engine(q, db)
         q2 = q + jnp.mean(keys) * 1e-6
         return q2, acc + jnp.sum(keys.astype(jnp.float32))
 
     t0 = time.perf_counter()
-    q, acc = step(q0, jnp.float32(0))
+    q, acc = step(q0, jnp.float32(0), db)
     float(acc)
     _log(f"  compile+first {time.perf_counter() - t0:.1f}s")
     for _ in range(warm):
-        q, acc = step(q, acc)
+        q, acc = step(q, acc, db)
     float(acc)
     t0 = time.perf_counter()
     for _ in range(iters):
-        q, acc = step(q, acc)
+        q, acc = step(q, acc, db)
     float(acc)
     return (time.perf_counter() - t0) / iters
 
@@ -156,10 +161,9 @@ def _scan_row(name, n, d, batch, k, dtype=jnp.bfloat16, metric="cosine",
     _log(f"{name}: building {n_pad} x {d} {np.dtype(dtype).name}")
     db = _normal_db(n_pad, d, dtype=dtype)
     count = jnp.int32(n_eff)
-    engine = _engine(db, count, k, metric)
+    engine = _engine(count, k, metric, block=min(BLOCK, n_pad))
     iters = iters or (50 if ON_TPU else 3)
-    dt = _measure_chain(_wrap_queries(engine, batch, d), _queries(batch, d),
-                        iters)
+    dt = _measure_chain(engine, _queries(batch, d), db, iters)
     qps = batch / dt
     row = {
         "metric": f"{name}_{n_eff//1000}Kx{d}D_b{batch}_k{k}"
@@ -172,11 +176,6 @@ def _scan_row(name, n, d, batch, k, dtype=jnp.bfloat16, metric="cosine",
         row["baseline_qps"] = REF[ref_key]
     del db
     return row
-
-
-def _wrap_queries(engine, batch, d):
-    # engines close over db; queries flow through the chain
-    return engine
 
 
 def _ivf_row():
@@ -202,14 +201,44 @@ def _ivf_row():
     queries = np.asarray(db[:nq], np.float32)  # stored rows as queries
     qj = jnp.asarray(queries)
 
-    # batch-1 latency: chain dependent single queries through the index
-    t0 = time.perf_counter()
-    ids, keys = idx.search(qj[:1], db, n, k=10)   # compile
-    _log(f"  search compile {time.perf_counter() - t0:.1f}s")
+    idx.search(qj[:1], db, n, k=10)  # compile + device mirror
+
+    # batch-1 latency: data-dependency chain over the device kernels + one
+    # final D2H (idx.search does a per-call D2H; behind the ~30ms tunnel
+    # that measures the tunnel, not the chip)
+    from tpu_vector_db.index.ivf import _select_buckets
+    nprobe = idx.nprobe
+    dev = idx._dev
+    if ON_TPU:
+        from tpu_vector_db.ops.ivf_scan import ivf_probe_topk_pallas
+
+        @jax.jit
+        def ivf_step(q, buckets, ids_d, fills, cents, bclust, csq, acc):
+            s = _select_buckets(q, cents, bclust, nprobe, "cosine", csq)
+            kv, _ = ivf_probe_topk_pallas(q, buckets, ids_d, fills, s, 10)
+            return q + jnp.mean(kv) * 1e-6, acc + jnp.sum(kv)
+    else:
+        from tpu_vector_db.ops.ivf_scan import ivf_probe_topk_xla
+
+        @jax.jit
+        def ivf_step(q, buckets, ids_d, fills, cents, bclust, csq, acc):
+            s = _select_buckets(q, cents, bclust, nprobe, "cosine", csq)
+            kv, _ = ivf_probe_topk_xla(q, buckets, ids_d, s, 10,
+                                       metric="cosine")
+            return q + jnp.mean(kv) * 1e-6, acc + jnp.sum(kv)
+
+    iargs = (dev["buckets"], dev["ids"], dev["fills"], dev["centroids"],
+             dev["bucket_cluster"], dev["c_sqnorms"])
     iters = 50 if ON_TPU else 5
+    qq, acc = ivf_step(qj[:1], *iargs, jnp.float32(0))
+    float(acc)
+    for _ in range(3):
+        qq, acc = ivf_step(qq, *iargs, acc)
+    float(acc)
     t0 = time.perf_counter()
-    for i in range(iters):
-        ids, keys = idx.search(qj[i % nq: i % nq + 1], db, n, k=10)
+    for _ in range(iters):
+        qq, acc = ivf_step(qq, *iargs, acc)
+    float(acc)
     dt = (time.perf_counter() - t0) / iters
 
     # recall gate: every selected row's exact f32 score >= the f32 k-th

@@ -77,23 +77,25 @@ def build_db(n_pad, clustered=False):
     return buf
 
 
-def chain_batch1(engine, q0, iters=100):
+def chain_batch1(engine, q0, db, iters=100):
+    # db is an ARGUMENT of the jitted step — closing over it would embed
+    # 320MB as an HLO constant and blow the tunnel's upload limit (413).
     @jax.jit
-    def step(q, acc):
-        keys, _ = engine(q)
+    def step(q, acc, db):
+        keys, _ = engine(q, db)
         q2 = q + jnp.mean(keys) * 1e-6
         return q2, acc + jnp.sum(keys.astype(jnp.float32))
 
     t0 = time.perf_counter()
-    q, acc = step(q0, jnp.float32(0))
+    q, acc = step(q0, jnp.float32(0), db)
     float(acc)
     log(f"  compile+first {time.perf_counter() - t0:.1f}s")
     for _ in range(5):
-        q, acc = step(q, acc)
+        q, acc = step(q, acc, db)
     float(acc)
     t0 = time.perf_counter()
     for _ in range(iters):
-        q, acc = step(q, acc)
+        q, acc = step(q, acc, db)
     float(acc)
     return (time.perf_counter() - t0) / iters
 
@@ -101,7 +103,9 @@ def chain_batch1(engine, q0, iters=100):
 def main():
     on_tpu = jax.default_backend() == "tpu"
     n = N if on_tpu else 100_000
-    n_pad = ((n + FILL - 1) // FILL) * FILL
+    # pad to 128K granularity (not FILL) so the scanned buffer overshoots
+    # the 1.25M shard slice by <5%, keeping the p50 honest-but-conservative
+    n_pad = ((n + 131071) // 131072) * 131072
     results = {"metric": "config5_shard_slice_1250Kx128D_b1_k10",
                "n_per_shard": n, "mesh": "v5e-8 (projection)",
                "merge_bound_ms": 0.05,
@@ -115,16 +119,16 @@ def main():
 
     if on_tpu:
         from tpu_vector_db.ops.pallas_scan import pallas_flat_topk
-        exact = lambda q: pallas_flat_topk(q, db, count, 10,  # noqa: E731
-                                           metric="cosine")
+        exact = lambda q, d: pallas_flat_topk(q, d, count, 10,  # noqa: E731
+                                              metric="cosine")
     else:
         from tpu_vector_db.ops.scan import flat_scan_topk
-        exact = lambda q: flat_scan_topk(  # noqa: E731
-            q, db, count, 10, metric="cosine", db_normalized=True,
+        exact = lambda q, d: flat_scan_topk(  # noqa: E731
+            q, d, count, 10, metric="cosine", db_normalized=True,
             block_rows=FILL)
 
     log("exact engine:")
-    dt = chain_batch1(exact, q0)
+    dt = chain_batch1(exact, q0, db)
     results["exact_p50_ms"] = round(dt * 1e3, 3)
     results["exact_projected_10M_v5e8_ms"] = round(dt * 1e3 + 0.05, 3)
     log(f"  exact {dt*1e3:.3f} ms")
@@ -146,10 +150,42 @@ def main():
 
     qc = dbc[:1].astype(jnp.float32)
     idx.search(qc, dbc, n, k=10)  # compile + device mirror
+
+    # latency: data-dependency chain over the device kernels, one final D2H
+    # (idx.search does a per-call D2H — behind the ~30ms tunnel that would
+    # measure the tunnel, not the chip; same pattern as ivf_tpu_check.py)
+    from tpu_vector_db.index.ivf import _select_buckets
+    dev = idx._dev
+    if on_tpu:
+        from tpu_vector_db.ops.ivf_scan import ivf_probe_topk_pallas
+
+        @jax.jit
+        def ivf_step(q, buckets, ids_d, fills, cents, bclust, csq, acc):
+            sel = _select_buckets(q, cents, bclust, nprobe, "cosine", csq)
+            kv, _ = ivf_probe_topk_pallas(q, buckets, ids_d, fills, sel, 10)
+            return q + jnp.mean(kv) * 1e-6, acc + jnp.sum(kv)
+    else:
+        from tpu_vector_db.ops.ivf_scan import ivf_probe_topk_xla
+
+        @jax.jit
+        def ivf_step(q, buckets, ids_d, fills, cents, bclust, csq, acc):
+            sel = _select_buckets(q, cents, bclust, nprobe, "cosine", csq)
+            kv, _ = ivf_probe_topk_xla(q, buckets, ids_d, sel, 10,
+                                       metric="cosine")
+            return q + jnp.mean(kv) * 1e-6, acc + jnp.sum(kv)
+
+    iargs = (dev["buckets"], dev["ids"], dev["fills"], dev["centroids"],
+             dev["bucket_cluster"], dev["c_sqnorms"])
     iters = 100 if on_tpu else 5
+    qq, acc = ivf_step(qc, *iargs, jnp.float32(0))
+    float(acc)
+    for _ in range(5):
+        qq, acc = ivf_step(qq, *iargs, acc)
+    float(acc)
     t0 = time.perf_counter()
     for _ in range(iters):
-        ids, keys = idx.search(qc, dbc, n, k=10)
+        qq, acc = ivf_step(qq, *iargs, acc)
+    float(acc)
     dt_ivf = (time.perf_counter() - t0) / iters
     results["ivf_p50_ms"] = round(dt_ivf * 1e3, 3)
     results["ivf_projected_10M_v5e8_ms"] = round(dt_ivf * 1e3 + 0.05, 3)

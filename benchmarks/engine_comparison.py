@@ -99,7 +99,22 @@ def main() -> None:
         vectors, queries, args.k, base))
     rows.append(bench_store(
         "ann-beam-graph", VectorStoreConfig(
-            dimension=args.dim, persist_mode="off", enable_ann=True),
+            dimension=args.dim, persist_mode="off", enable_ann=True,
+            ann_params={"index_type": "beam_graph"}),
+        vectors, queries, args.k, base))
+    rows.append(bench_store(
+        "ann-ivf", VectorStoreConfig(
+            dimension=args.dim, persist_mode="off", enable_ann=True,
+            ann_params={"index_type": "ivf", "min_rows": 0}),
+        vectors, queries, args.k, base))
+    rows.append(bench_store(
+        "auto-routed", VectorStoreConfig(
+            dimension=args.dim, persist_mode="off", enable_ann=True,
+            ann_params={"index_type": "auto"}),
+        vectors, queries, args.k, base))
+    rows.append(bench_store(
+        "flat-int8", VectorStoreConfig(
+            dimension=args.dim, persist_mode="off", storage_dtype="int8"),
         vectors, queries, args.k, base))
     external = bench_faiss(vectors, queries, args.k)
     if external:

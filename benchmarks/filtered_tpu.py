@@ -59,23 +59,25 @@ def build_db(n_pad):
     return buf
 
 
-def measure(engine, q0, iters=30):
+def measure(engine, q0, db, mask, iters=30):
+    # db/mask are ARGUMENTS of the jitted step — closing over them would
+    # embed 1.5GB as HLO constants and blow the tunnel upload limit (413)
     @jax.jit
-    def step(q, acc):
-        keys, _ = engine(q)
+    def step(q, acc, db, mask):
+        keys, _ = engine(q, db, mask)
         q2 = q + jnp.mean(keys) * 1e-6
         return q2, acc + jnp.sum(keys.astype(jnp.float32))
 
     t0 = time.perf_counter()
-    q, acc = step(q0, jnp.float32(0))
+    q, acc = step(q0, jnp.float32(0), db, mask)
     float(acc)
     log(f"  compile+first {time.perf_counter() - t0:.1f}s")
     for _ in range(3):
-        q, acc = step(q, acc)
+        q, acc = step(q, acc, db, mask)
     float(acc)
     t0 = time.perf_counter()
     for _ in range(iters):
-        q, acc = step(q, acc)
+        q, acc = step(q, acc, db, mask)
     float(acc)
     return (time.perf_counter() - t0) / iters
 
@@ -94,26 +96,23 @@ def main():
     if on_tpu:
         from tpu_vector_db.ops.pallas_scan import pallas_flat_topk
 
-        def make_engine(mask):
+        def engine(q, db, mask):
             if mask is None:
-                return lambda q: pallas_flat_topk(q, db, count, K,
-                                                  metric="cosine")
-            return lambda q: pallas_flat_topk(q, db, count, K,
-                                              metric="cosine",
-                                              filter_mask=mask)
+                return pallas_flat_topk(q, db, count, K, metric="cosine")
+            return pallas_flat_topk(q, db, count, K, metric="cosine",
+                                    filter_mask=mask)
     else:
-        def make_engine(mask):
-            return lambda q: flat_scan_topk(q, db, count, K,
-                                            metric="cosine",
-                                            db_normalized=True,
-                                            filter_mask=mask,
-                                            block_rows=FILL)
+        def engine(q, db, mask):
+            return flat_scan_topk(q, db, count, K, metric="cosine",
+                                  db_normalized=True, filter_mask=mask,
+                                  block_rows=FILL)
 
     rng = np.random.default_rng(0)
     results = {"metric": f"filtered_scan_{n//1000}Kx{DIM}D_b{BATCH}_k{K}",
                "rows": []}
 
-    dt = measure(make_engine(None), q0)
+    iters = 30 if on_tpu else 3
+    dt = measure(engine, q0, db, None, iters=iters)
     results["rows"].append({"selectivity": 1.0,
                             "ms_per_batch": round(dt * 1e3, 2),
                             "qps": round(BATCH / dt, 0)})
@@ -124,9 +123,9 @@ def main():
         mask_host[n:] = 0.0
         live = int(mask_host.sum())
         mask = jnp.asarray(mask_host)
-        dt = measure(make_engine(mask), q0)
+        dt = measure(engine, q0, db, mask, iters=iters)
         # correctness: filtered result ids must all be mask-live
-        keys, idx = make_engine(mask)(q0)
+        keys, idx = engine(q0, db, mask)
         idx = np.asarray(idx)
         keys = np.asarray(keys)
         ok = bool(np.all((mask_host[idx] > 0.5) | (keys == -np.inf)

@@ -10,6 +10,7 @@ Usage: setsid nohup python benchmarks/int8_tpu_check.py > log 2>&1 &
 Env: VDB_INT8_ROWS (default 16777216), VDB_INT8_ENGINE (pallas|xla|both).
 """
 
+import functools
 import json
 import os
 import sys
@@ -32,14 +33,14 @@ def pallas_flat_topk(*a, **kw):
 
 
 DIM, BATCH, K = 768, 64, 10
-FILL = 2 ** 20  # rows per generation step
+FILL = 2 ** 19  # rows per generation step (f32 transient = 1.5 GiB)
 
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-@jax.jit
+@functools.partial(jax.jit, donate_argnums=(0,))
 def _fill(buf, key, start):
     # donated int8 buffer + dynamic_update_slice: constant transient HBM
     # (concatenating per-block arrays doubles residency near capacity)

@@ -2,11 +2,22 @@
 """Per-encoder E2E comparison table.
 
 Parity with reference benchmarks/e2e_model_comparison.py (same pipeline per
-embedding model -> comparison table). Models come from the encoder registry;
-random-init Flax encoders still measure the true compute cost per
-architecture even without trained weights.
+embedding model -> comparison table). Three model sources:
 
-  python benchmarks/model_comparison.py --models hash-384 minilm-l6-384
+* registry names (hash-384, minilm-l6-384, ...): hashing / generic Flax
+  encoders (random-init; true compute cost per architecture);
+* ``bert:<shape>`` (minilm-l6, bge-small, bge-base, gte-large): builds a
+  random-init checkpoint in REAL HF format (config.json + weights +
+  vocab.txt, via transformers, no network) and serves it through the full
+  BertEncoder path — WordPiece tokenization + the faithful Flax BERT
+  forward, i.e. exactly what a real pretrained checkpoint costs;
+* ``hf:<dir>``: a real local HF checkpoint directory.
+
+Append ``+int8`` to a bert:/hf: model to serve it through the per-channel
+int8 weight quantizer (pipeline/bert.py quantize_params).
+
+  python benchmarks/model_comparison.py \
+      --models hash-384 bert:minilm-l6 bert:minilm-l6+int8
 """
 
 from __future__ import annotations
@@ -32,12 +43,69 @@ from tpu_vector_db.store import TPUVectorStore, VectorStoreConfig  # noqa: E402
 from benchmarks.e2e_benchmark import synth_docs  # noqa: E402
 
 
+# real HF-checkpoint shapes matching the registry's memory/dim metadata
+BERT_SHAPES = {
+    "minilm-l6": (6, 384),
+    "bge-small": (12, 384),
+    "bge-base": (12, 768),
+    "gte-large": (24, 1024),
+}
+
+
+def ensure_hf_checkpoint(shape_name: str, base: Path) -> Path:
+    """Random-init BertModel saved in HF format (cached per shape)."""
+    layers, hidden = BERT_SHAPES[shape_name]
+    d = base / f"hf_{shape_name}"
+    if (d / "config.json").exists():
+        return d
+    import torch
+    import transformers
+    cfg = transformers.BertConfig(
+        vocab_size=30522, hidden_size=hidden, num_hidden_layers=layers,
+        num_attention_heads=max(hidden // 64, 1),
+        intermediate_size=hidden * 4, max_position_embeddings=512)
+    torch.manual_seed(0)
+    model = transformers.BertModel(cfg)
+    model.eval()
+    d.mkdir(parents=True, exist_ok=True)
+    model.save_pretrained(d)
+    words = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"] + [
+        f"tok{i}" for i in range(5000)]
+    (d / "vocab.txt").write_text("\n".join(words) + "\n")
+    return d
+
+
+def resolve_encoder(name: str, base: Path):
+    quant = "none"
+    spec = name
+    if spec.endswith("+int8"):
+        quant, spec = "int8", spec[:-5]
+    if spec.startswith("bert:"):
+        ckpt = ensure_hf_checkpoint(spec[5:], base)
+        return create_encoder(f"hf:{ckpt}", quantize=quant)
+    if spec.startswith("hf:"):
+        return create_encoder(spec, quantize=quant)
+    return create_encoder(spec)
+
+
+def param_mb(encoder) -> float | None:
+    params = getattr(encoder, "_params", None)
+    if params is None:
+        return None
+    from tpu_vector_db.pipeline import bert
+    try:
+        return round(bert.param_bytes(params) / 2**20, 1)
+    except Exception:  # noqa: BLE001 — non-tree params
+        return None
+
+
 def bench_model(name: str, docs: list[str], queries: int, base: Path) -> dict:
     t0 = time.perf_counter()
-    encoder = create_encoder(name)
+    encoder = resolve_encoder(name, base)
     encoder.warmup()
     init_s = time.perf_counter() - t0
-    store = TPUVectorStore(base / name, VectorStoreConfig(
+    store = TPUVectorStore(base / name.replace(":", "_").replace("+", "_"),
+                           VectorStoreConfig(
         dimension=encoder.dimension, persist_mode="off"))
     store.clear()
     rag = RAGPipeline(encoder, store)
@@ -54,6 +122,7 @@ def bench_model(name: str, docs: list[str], queries: int, base: Path) -> dict:
     return {
         "model": name,
         "dimension": encoder.dimension,
+        "param_mb": param_mb(encoder),
         "init_s": round(init_s, 2),
         "docs_per_second": stats["docs_per_second"],
         "texts_per_second": round(enc_stats["texts_per_second"], 1),
@@ -72,9 +141,16 @@ def main() -> None:
     args = ap.parse_args()
 
     for m in args.models:
-        if m not in EMBEDDING_MODEL_REGISTRY:
+        spec = m[:-5] if m.endswith("+int8") else m
+        if spec.startswith("bert:"):
+            if spec[5:] not in BERT_SHAPES:
+                sys.exit(f"unknown bert shape {spec[5:]}; "
+                         f"known: {sorted(BERT_SHAPES)}")
+        elif not spec.startswith("hf:") and \
+                spec not in EMBEDDING_MODEL_REGISTRY:
             sys.exit(f"unknown model {m}; known: "
-                     f"{sorted(EMBEDDING_MODEL_REGISTRY)}")
+                     f"{sorted(EMBEDDING_MODEL_REGISTRY)}, bert:<shape>, "
+                     "hf:<dir>")
 
     rng = np.random.default_rng(0)
     docs = synth_docs(args.docs, rng)

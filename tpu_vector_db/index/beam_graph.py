@@ -352,6 +352,7 @@ class BeamGraphIndex:
         self._ekeys_dev: jnp.ndarray | None = None
         self._host_dirty = False     # device is source of truth during build
         self._entries: np.ndarray | None = None
+        self._iters_div = 1          # 2 during a full build's insert pass
         self.build_time_s = 0.0
 
     # ------------------------------------------------------------- plumbing
@@ -453,7 +454,13 @@ class BeamGraphIndex:
         self._graph = None
         self._cap = 0
         self._ensure_cap(count)
-        self._insert_range(db, 0, count, sqnorms)
+        # two-phase budget: cheap insert pass, full-budget refine pass
+        # (see insert_budget_div) — only when a refine pass will follow
+        self._iters_div = self.insert_budget_div if refine_passes else 1
+        try:
+            self._insert_range(db, 0, count, sqnorms)
+        finally:
+            self._iters_div = 1
         if refine_passes:
             self.refine(db, sqnorms=sqnorms, passes=refine_passes)
         # one terminal D2H: true sync (block_until_ready under-reports
@@ -591,6 +598,12 @@ class BeamGraphIndex:
     # build-time beam width: total expansion budget stays efc (iters=efc/bw)
     # — a wider beam halves the sequential scan length per inserted batch
     build_beam_width = 4
+    # full-build insert pass runs at 1/insert_budget_div of the beam budget
+    # (Vamana-style two-pass: the refine pass re-searches EVERY node at the
+    # full efc budget and re-prunes, repairing the cheaper first pass).
+    # add() (no refine follows) always uses the full budget. r3 TPU measure:
+    # halves the insert-phase cost at equal post-refine recall.
+    insert_budget_div = 2
     # extra backlink slots considered per row per batch before re-pruning
     _REVERSE_EXTRA = 16
 
@@ -600,7 +613,7 @@ class BeamGraphIndex:
         `batch` rows each. No D2H: the device graph is the source of truth
         until _materialize_host()."""
         bw = self.build_beam_width
-        iters = max(self.ef_construction // bw, 6)
+        iters = max(self.ef_construction // bw // self._iters_div, 6)
         self._graph_dev, self._ekeys_dev = _device_insert_scan(
             self._graph_dev, self._ekeys_dev, db,
             jnp.asarray(np.asarray(starts, np.int32)),
