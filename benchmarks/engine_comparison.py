@@ -54,6 +54,35 @@ def bench_store(name: str, cfg: VectorStoreConfig, vectors, queries, k,
             "p50_ms": round(sorted(lat)[len(lat) // 2] * 1e3, 3)}
 
 
+def bench_torch(vectors, queries, k) -> dict | None:
+    """External baseline that IS importable in this image: torch-CPU exact
+    cosine (matmul + topk), the same brute-force shape faiss's IndexFlatIP
+    runs. Gives the cross-engine table a real non-JAX row."""
+    try:
+        import torch
+    except ImportError:
+        return None
+    t0 = time.perf_counter()
+    db = torch.from_numpy(vectors)
+    db = db / db.norm(dim=-1, keepdim=True).clamp_min(1e-8)
+    ingest = len(vectors) / (time.perf_counter() - t0)
+    q = torch.from_numpy(queries)
+    q = q / q.norm(dim=-1, keepdim=True).clamp_min(1e-8)
+    with torch.no_grad():
+        torch.topk(q[:1] @ db.T, k)  # warm
+        t0 = time.perf_counter()
+        torch.topk(q @ db.T, k)
+        dt = time.perf_counter() - t0
+        lat = []
+        for i in range(16):
+            t0 = time.perf_counter()
+            torch.topk(q[i % len(q): i % len(q) + 1] @ db.T, k)
+            lat.append(time.perf_counter() - t0)
+    return {"engine": "torch-cpu-flat", "ingest_vps": round(ingest, 1),
+            "qps_batched": round(len(queries) / dt, 1),
+            "p50_ms": round(sorted(lat)[len(lat) // 2] * 1e3, 3)}
+
+
 def bench_faiss(vectors, queries, k) -> dict | None:
     try:
         import faiss  # gated: not in this image
@@ -116,11 +145,12 @@ def main() -> None:
         "flat-int8", VectorStoreConfig(
             dimension=args.dim, persist_mode="off", storage_dtype="int8"),
         vectors, queries, args.k, base))
-    external = bench_faiss(vectors, queries, args.k)
-    if external:
-        rows.append(external)
-    else:
-        print("(faiss/chromadb not installed; external baselines skipped)")
+    for ext in (bench_torch(vectors, queries, args.k),
+                bench_faiss(vectors, queries, args.k)):
+        if ext:
+            rows.append(ext)
+    if not any(r["engine"].startswith("faiss") for r in rows):
+        print("(faiss/chromadb not installed; torch-cpu is the external row)")
 
     cols = list(rows[0].keys())
     widths = {c: max(len(c), *(len(str(r[c])) for r in rows)) for c in cols}

@@ -120,6 +120,31 @@ class TestAutoQueryRouting:
         store.batch_query(x[:32], k=5)
         assert calls["n"] == 1, "operator's explicit choice is respected"
 
+    def test_low_selectivity_filter_routes_to_exact(self, tmp_path, rng):
+        """A filter keeping <5% of rows skips the ANN k*10 oversample and
+        runs the masked exact scan: results are exact and complete even
+        when oversampling would return ~0 live rows (VERDICT r2 item 5)."""
+        cfg = VectorStoreConfig(
+            dimension=32, metric="cosine", enable_ann=True,
+            persist_mode="off",
+            ann_params={"index_type": "ivf", "n_clusters": 16, "nprobe": 2,
+                        "self_check": False})
+        store = TPUVectorStore(tmp_path / "s", cfg)
+        x = clustered(rng, 1500, 32)
+        # 10 rows (0.67%) carry the rare tag, spread across clusters
+        rare = set(range(0, 1000, 100))
+        store.add_vectors(x, [
+            {"tag": "rare" if i in rare else "common"} for i in range(1500)])
+        calls = spy_ann(store)
+        ids, scores, metas = store.query(
+            x[0], k=10, filter_metadata={"tag": "rare"})
+        assert calls["n"] == 0, "low-selectivity filter must go exact"
+        assert set(ids) == rare, "masked exact scan returns ALL live rows"
+        assert all(m["tag"] == "rare" for m in metas)
+        # a permissive filter (100% live) keeps the ANN path
+        store.query(x[0], k=3, filter_metadata={"tag": "common"})
+        assert calls["n"] == 1
+
     def test_auto_recall_gate(self, tmp_path, rng):
         """BASELINE gate shape at CPU scale: the auto store must serve
         >= 0.95 recall@10 out of the box on tight-clustered data (the

@@ -487,6 +487,20 @@ class TPUVectorStore:
             fetch_k = min(self._count, k_eff * 10) if filter_metadata \
                 else k_eff
             ivf_large_k = (self._ann_kind == "ivf" and fetch_k > 32)
+            # pathological-selectivity routing (r3): when the filter keeps
+            # few rows, the ANN k*10 oversample returns ~selectivity*10*k
+            # live hits (often zero), while the masked exact scan is exact
+            # at UNCHANGED latency (the mask streams with the db blocks —
+            # measured free at 1M x 768D, BENCHMARKS.md "Filtered
+            # queries").
+            host_mask = None
+            low_sel_filter = False
+            if filter_metadata:
+                host_mask = self._meta_index.mask(filter_metadata, self._cap)
+                sel_threshold = self.config.ann_params.get(
+                    "filter_exact_selectivity", 0.05)
+                live = float(host_mask[:max(self._count, 1)].sum())
+                low_sel_filter = live < sel_threshold * self._count
             # auto-mode batch routing (BENCHMARKS.md): at 1M x 768D batch-64
             # the exact sweep measures 4.43 ms vs IVF's 9.59 ms — one HBM
             # sweep amortized over the batch beats 64x nprobe bucket
@@ -500,7 +514,7 @@ class TPUVectorStore:
                 and self._count <= self.config.ann_params.get(
                     "auto_batch_flat_rows", 2_000_000))
             if (use_ann and self.config.enable_ann and not ivf_large_k and
-                    not high_batch_flat and
+                    not high_batch_flat and not low_sel_filter and
                     self._ann is not None and self._count >= min_rows and
                     not self._ann_low_recall):
                 try:
@@ -511,6 +525,8 @@ class TPUVectorStore:
                                    exc_info=True)
 
             t0 = time.perf_counter()
+            # polymorphic: ShardedVectorStore's override device_puts the
+            # mask with the shard sharding (host_mask above is host-only)
             mask = (self._filter_mask(filter_metadata)
                     if filter_metadata else None)
             keys, idx = self._flat_topk(arr, k_eff, mask)
