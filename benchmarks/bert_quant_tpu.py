@@ -75,14 +75,14 @@ def main():
     results["bf16_texts_per_s"] = round(tput, 1)
     results["bf16_param_mb"] = round(bert.param_bytes(enc._params) / 2**20, 1)
 
-    encq = create_encoder(f"hf:{d}", quantize="int8")
-    tputq, got = measure(encq, texts)
-    results["int8_texts_per_s"] = round(tputq, 1)
-    results["int8_param_mb"] = round(
-        bert.param_bytes(encq._params) / 2**20, 1)
-
-    cos = np.sum(ref * got, axis=-1)
-    results["min_cosine_vs_bf16"] = round(float(cos.min()), 5)
+    for quant in ("int8", "int4"):
+        encq = create_encoder(f"hf:{d}", quantize=quant)
+        tputq, got = measure(encq, texts)
+        results[f"{quant}_texts_per_s"] = round(tputq, 1)
+        results[f"{quant}_param_mb"] = round(
+            bert.param_bytes(encq._params) / 2**20, 1)
+        cos = np.sum(ref * got, axis=-1)
+        results[f"{quant}_min_cosine_vs_bf16"] = round(float(cos.min()), 5)
     print(json.dumps({"metric": f"bert_quant_L{layers}_H{hidden}_b512",
                       **results}), flush=True)
 

@@ -13,8 +13,9 @@ embedding model -> comparison table). Three model sources:
   forward, i.e. exactly what a real pretrained checkpoint costs;
 * ``hf:<dir>``: a real local HF checkpoint directory.
 
-Append ``+int8`` to a bert:/hf: model to serve it through the per-channel
-int8 weight quantizer (pipeline/bert.py quantize_params).
+Append ``+int8`` or ``+int4`` to a bert:/hf: model to serve it through the
+per-channel int8 / group-wise packed int4 weight quantizer
+(pipeline/bert.py quantize_params).
 
   python benchmarks/model_comparison.py \
       --models hash-384 bert:minilm-l6 bert:minilm-l6+int8
@@ -80,6 +81,8 @@ def resolve_encoder(name: str, base: Path):
     spec = name
     if spec.endswith("+int8"):
         quant, spec = "int8", spec[:-5]
+    elif spec.endswith("+int4"):
+        quant, spec = "int4", spec[:-5]
     if spec.startswith("bert:"):
         ckpt = ensure_hf_checkpoint(spec[5:], base)
         return create_encoder(f"hf:{ckpt}", quantize=quant)
@@ -141,7 +144,7 @@ def main() -> None:
     args = ap.parse_args()
 
     for m in args.models:
-        spec = m[:-5] if m.endswith("+int8") else m
+        spec = m[:-5] if m.endswith(("+int8", "+int4")) else m
         if spec.startswith("bert:"):
             if spec[5:] not in BERT_SHAPES:
                 sys.exit(f"unknown bert shape {spec[5:]}; "

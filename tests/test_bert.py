@@ -237,10 +237,74 @@ class TestInt8Quantization:
         cos = np.sum(ref * got, axis=-1)
         assert np.all(cos >= 0.99), cos
 
+    def test_int4_forward_cosine(self, tiny_hf_checkpoint):
+        """Group-wise int4 (packed nibbles, Q4_GROUP input rows per scale,
+        the reference's 4-bit-checkpoint layout): embeddings stay >= 0.98
+        cosine vs f32, Dense kernels shrink ~7x vs f32."""
+        import jax.numpy as jnp
+
+        from tpu_vector_db.pipeline import bert
+
+        d, _ = tiny_hf_checkpoint
+        cfg = bert.BertConfig.from_hf_dir(d)
+        tok = WordPieceTokenizer(d / "vocab.txt")
+        ids, mask = tok.encode_batch(
+            ["the quick brown fox jumps over the lazy dog",
+             "hello world !", "vector database search engine"], seq_len=16)
+
+        f32_mod = bert.make_bert_module(cfg, compute_dtype=jnp.float32)
+        f32_params = bert.load_hf_params(d, cfg)
+        ref = np.asarray(bert.pool_hidden(
+            f32_mod.apply(f32_params, jnp.asarray(ids), jnp.asarray(mask)),
+            jnp.asarray(mask), "mean"), np.float32)
+
+        q_mod = bert.make_bert_module(cfg, compute_dtype=jnp.float32,
+                                      quantized="int4")
+        q_params = bert.quantize_params(f32_params, bits=4)
+        got = np.asarray(bert.pool_hidden(
+            q_mod.apply(q_params, jnp.asarray(ids), jnp.asarray(mask)),
+            jnp.asarray(mask), "mean"), np.float32)
+
+        cos = np.sum(ref * got, axis=-1)
+        assert np.all(cos >= 0.98), cos
+        assert bert.param_bytes(q_params) < bert.param_bytes(
+            bert.quantize_params(f32_params, bits=8))
+
+    def test_int4_pack_roundtrip(self):
+        """Packing convention: even input rows in the low nibble, odd in
+        the high nibble; module-side unpack must reproduce the quantized
+        values exactly."""
+        from tpu_vector_db.pipeline import bert
+
+        rng = np.random.default_rng(0)
+        m = rng.standard_normal((64, 8)).astype(np.float32)
+        q = bert.quantize_params(
+            {"params": {"x": {"kernel": m, "bias": np.zeros(8, np.float32)}}},
+            bits=4)["params"]["x"]
+        packed = np.asarray(q["kernel_q4"])
+        scale = np.asarray(q["scale"])
+        lo = (packed & 15).astype(np.int32) - 8
+        hi = ((packed >> 4) & 15).astype(np.int32) - 8
+        unpacked = np.stack([lo, hi], axis=1).reshape(64, 8)
+        deq = unpacked.astype(np.float32).reshape(
+            scale.shape[0], -1, 8) * scale[:, None, :]
+        deq = deq.reshape(64, 8)
+        assert np.max(np.abs(deq - m)) <= np.max(np.abs(m)) / 7.0
+
+    def test_encoder_int4_end_to_end(self, tiny_hf_checkpoint):
+        from tpu_vector_db.pipeline.encoders import create_encoder
+
+        d, _ = tiny_hf_checkpoint
+        enc_f32 = create_encoder(f"hf:{d}", dtype="float32")
+        enc_q = create_encoder(f"hf:{d}", dtype="float32", quantize="int4")
+        texts = ["the quick brown fox", "vector database search engine"]
+        cos = np.sum(enc_f32.encode(texts) * enc_q.encode(texts), axis=-1)
+        assert np.all(cos >= 0.98), cos
+
     def test_bad_quantize_value_rejected(self, tiny_hf_checkpoint):
         from tpu_vector_db.pipeline.encoders import create_encoder
 
         d, _ = tiny_hf_checkpoint
-        enc = create_encoder(f"hf:{d}", quantize="int4")
+        enc = create_encoder(f"hf:{d}", quantize="int2")
         with pytest.raises(ValueError, match="quantize"):
             enc.load()

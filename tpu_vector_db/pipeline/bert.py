@@ -53,20 +53,33 @@ class BertConfig:
 
 # --------------------------------------------------------------- the model
 
+# int4 quantization group: input rows sharing one scale per output channel
+# (matches the group_size=64 convention of public 4-bit checkpoints)
+Q4_GROUP = 64
+
+
 def make_bert_module(cfg: BertConfig, compute_dtype=jnp.bfloat16,
-                     quantized: bool = False):
+                     quantized=False):
     """Build the Flax module. Param tree layout is chosen so the HF mapping
     in load_hf_params is positional-free: one named submodule per HF tensor
     group.
 
-    quantized=True swaps every Dense/Embed for its int8 per-channel
-    variant (kernel_q int8 + scale f32, dequantized at apply time); pair
-    with quantize_params. Weights live in HBM at 1/4 the f32 footprint —
-    the role the reference's 4-bit community checkpoints played
-    (integrations/mlx_lm_pipeline.py:54-78) without needing special model
-    files: any HF checkpoint quantizes at load."""
+    quantized="int8" (or True) swaps every Dense/Embed for its int8
+    per-channel variant (kernel_q int8 + scale f32, dequantized at apply
+    time); quantized="int4" packs Dense kernels two-nibbles-per-byte with
+    GROUP-wise scales (Q4_GROUP input rows per scale — the group_size-64
+    layout of the reference's 4-bit MLX checkpoints,
+    integrations/mlx_lm_pipeline.py:54-78) while embedding tables stay
+    int8 (gather from packed nibbles is not worth it; the table is the
+    precision-sensitive part). Pair with quantize_params. Weights live in
+    HBM at 1/4 (int8) or ~1/7 (int4) of the f32 footprint without needing
+    special model files: any HF checkpoint quantizes at load."""
     import flax.linen as nn
 
+    mode = "int8" if quantized is True else (quantized or None)
+    if mode not in (None, "int8", "int4"):
+        raise ValueError(f"quantized must be False/'int8'/'int4', "
+                         f"got {quantized!r}")
     dtype = compute_dtype
     head_dim = cfg.hidden_size // cfg.num_attention_heads
 
@@ -89,6 +102,32 @@ def make_bert_module(cfg: BertConfig, compute_dtype=jnp.bfloat16,
             y = jnp.dot(x.astype(dtype), k)
             return y + bias.astype(dtype)
 
+    class Quant4Dense(nn.Module):
+        """int4 weights packed two-per-byte along the INPUT dim, symmetric
+        group-wise scales (Q4_GROUP input rows per output channel). Unpack
+        + scale run on the VPU as part of the operand read; the widened
+        kernel is a fusion temporary, never a stored HBM tensor."""
+        features: int
+
+        @nn.compact
+        def __call__(self, x):
+            in_f = x.shape[-1]
+            g = min(Q4_GROUP, in_f)
+            kp = self.param("kernel_q4", nn.initializers.zeros_init(),
+                            (in_f // 2, self.features), jnp.uint8)
+            scale = self.param("scale", nn.initializers.ones_init(),
+                               (in_f // g, self.features), jnp.float32)
+            bias = self.param("bias", nn.initializers.zeros_init(),
+                              (self.features,), jnp.float32)
+            u = kp.astype(jnp.int32)
+            lo = (u & 15) - 8          # even input rows
+            hi = ((u >> 4) & 15) - 8   # odd input rows
+            k = jnp.stack([lo, hi], axis=1).reshape(in_f, self.features)
+            k = k.astype(jnp.float32).reshape(in_f // g, g, self.features)
+            k = (k * scale[:, None, :]).reshape(in_f, self.features)
+            y = jnp.dot(x.astype(dtype), k.astype(dtype))
+            return y + bias.astype(dtype)
+
     class QuantEmbed(nn.Module):
         num_embeddings: int
         features: int
@@ -103,11 +142,14 @@ def make_bert_module(cfg: BertConfig, compute_dtype=jnp.bfloat16,
                     * scale[None, :]).astype(dtype)
 
     def DenseM(features, name):
-        return (QuantDense(features, name=name) if quantized
-                else nn.Dense(features, dtype=dtype, name=name))
+        if mode == "int4":
+            return Quant4Dense(features, name=name)
+        if mode == "int8":
+            return QuantDense(features, name=name)
+        return nn.Dense(features, dtype=dtype, name=name)
 
     def EmbedM(num, features, name):
-        return (QuantEmbed(num, features, name=name) if quantized
+        return (QuantEmbed(num, features, name=name) if mode
                 else nn.Embed(num, features, name=name, dtype=dtype))
 
     class Layer(nn.Module):
@@ -236,18 +278,21 @@ def load_hf_params(model_dir: str | Path, cfg: BertConfig,
     return {"params": params}
 
 
-# --------------------------------------------------------- int8 quantization
+# --------------------------------------------------- int8/int4 quantization
 
-def quantize_params(variables: dict) -> dict:
-    """f32 param tree (load_hf_params) -> int8 per-channel tree for
-    make_bert_module(quantized=True).
+def quantize_params(variables: dict, bits: int = 8) -> dict:
+    """f32 param tree (load_hf_params) -> quantized tree for
+    make_bert_module(quantized="int8"/"int4").
 
-    Symmetric per-output-channel scales for Dense kernels, per-hidden-channel
-    for embedding tables; LayerNorms and biases stay f32 (negligible bytes,
-    load-bearing precision). Equivalent role to the reference's pre-baked
-    4-bit registry (mlx_lm_pipeline.py:54-78), applied at load time to ANY
-    HF checkpoint. Parity gate: embedding cosine >= 0.999 vs the f32 tree
-    (tests/test_bert.py)."""
+    bits=8: symmetric per-output-channel int8 scales for Dense kernels.
+    bits=4: Dense kernels quantized to int4 with GROUP-wise scales
+    (Q4_GROUP input rows per scale) and packed two-nibbles-per-byte.
+    Embedding tables are per-hidden-channel int8 in both modes; LayerNorms
+    and biases stay f32 (negligible bytes, load-bearing precision).
+    Equivalent role to the reference's pre-baked 4-bit registry
+    (mlx_lm_pipeline.py:54-78), applied at load time to ANY HF checkpoint.
+    Parity gates: embedding cosine >= 0.999 (int8) / >= 0.98 (int4) vs the
+    f32 tree (tests/test_bert.py)."""
 
     def q_matrix(m: np.ndarray):
         m = np.asarray(m, np.float32)
@@ -255,7 +300,26 @@ def quantize_params(variables: dict) -> dict:
         q = np.clip(np.round(m / scale[None, :]), -127, 127).astype(np.int8)
         return q, scale.astype(np.float32)
 
+    def q4_matrix(m: np.ndarray):
+        m = np.asarray(m, np.float32)
+        in_f, out_f = m.shape
+        g = min(Q4_GROUP, in_f)
+        if in_f % g or in_f % 2:
+            raise ValueError(
+                f"int4 needs in_features divisible by {g}, got {in_f}")
+        mg = m.reshape(in_f // g, g, out_f)
+        scale = np.maximum(np.abs(mg).max(axis=1) / 7.0, 1e-12)  # (G, out)
+        q = np.clip(np.round(mg / scale[:, None, :]), -8, 7)
+        q = q.reshape(in_f, out_f).astype(np.int8)
+        u = (q + 8).astype(np.uint8)
+        packed = (u[0::2] | (u[1::2] << 4)).astype(np.uint8)
+        return packed, scale.astype(np.float32)
+
     def q_dense(d):
+        if bits == 4:
+            q, s = q4_matrix(d["kernel"])
+            return {"kernel_q4": jnp.asarray(q), "scale": jnp.asarray(s),
+                    "bias": jnp.asarray(d["bias"], jnp.float32)}
         q, s = q_matrix(d["kernel"])
         return {"kernel_q": jnp.asarray(q), "scale": jnp.asarray(s),
                 "bias": jnp.asarray(d["bias"], jnp.float32)}

@@ -369,20 +369,21 @@ class BertEncoder(BaseEncoder):
         dtype = (jnp.bfloat16 if self.config.dtype == "bfloat16"
                  else jnp.float32)
         self._bert_cfg = bcfg
-        quantized = self.config.quantize == "int8"
-        if self.config.quantize not in ("none", "int8"):
+        quant = self.config.quantize
+        if quant not in ("none", "int8", "int4"):
             raise ValueError(
-                f"quantize must be 'none' or 'int8', got "
-                f"{self.config.quantize!r}")
+                f"quantize must be 'none', 'int8' or 'int4', got {quant!r}")
+        quantized = False if quant == "none" else quant
         self._model = bert.make_bert_module(bcfg, compute_dtype=dtype,
                                             quantized=quantized)
         self._params = bert.load_hf_params(ckpt, bcfg)
         if quantized:
             f32_bytes = bert.param_bytes(self._params)
-            self._params = bert.quantize_params(self._params)
+            self._params = bert.quantize_params(
+                self._params, bits=4 if quant == "int4" else 8)
             logger.info(
-                "int8-quantized %s: %.1f -> %.1f MB params",
-                self.config.name, f32_bytes / 2**20,
+                "%s-quantized %s: %.1f -> %.1f MB params",
+                quant, self.config.name, f32_bytes / 2**20,
                 bert.param_bytes(self._params) / 2**20)
         self._tokenizer = WordPieceTokenizer(ckpt / "vocab.txt")
         self._pool = bert.pool_hidden
