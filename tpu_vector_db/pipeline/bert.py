@@ -42,6 +42,12 @@ class BertConfig:
     type_vocab_size: int = 2
     layer_norm_eps: float = 1e-12
     hidden_act: str = "gelu"
+    # "bert" | "roberta" | "xlm-roberta": RoBERTa-family checkpoints share
+    # the BERT encoder but index position embeddings from pad_token_id+1
+    # (multilingual-e5-* in the reference registry are XLM-RoBERTa,
+    # integrations/mlx_lm_pipeline.py:74-75)
+    model_type: str = "bert"
+    pad_token_id: int = 0
 
     @classmethod
     def from_hf_dir(cls, path: str | Path) -> "BertConfig":
@@ -58,30 +64,31 @@ class BertConfig:
 Q4_GROUP = 64
 
 
-def make_bert_module(cfg: BertConfig, compute_dtype=jnp.bfloat16,
-                     quantized=False):
-    """Build the Flax module. Param tree layout is chosen so the HF mapping
-    in load_hf_params is positional-free: one named submodule per HF tensor
-    group.
-
-    quantized="int8" (or True) swaps every Dense/Embed for its int8
-    per-channel variant (kernel_q int8 + scale f32, dequantized at apply
-    time); quantized="int4" packs Dense kernels two-nibbles-per-byte with
-    GROUP-wise scales (Q4_GROUP input rows per scale — the group_size-64
-    layout of the reference's 4-bit MLX checkpoints,
-    integrations/mlx_lm_pipeline.py:54-78) while embedding tables stay
-    int8 (gather from packed nibbles is not worth it; the table is the
-    precision-sensitive part). Pair with quantize_params. Weights live in
-    HBM at 1/4 (int8) or ~1/7 (int4) of the f32 footprint without needing
-    special model files: any HF checkpoint quantizes at load."""
-    import flax.linen as nn
-
+def quant_mode(quantized) -> str | None:
+    """Normalize the quantized flag: False/None | True/'int8' | 'int4'."""
     mode = "int8" if quantized is True else (quantized or None)
     if mode not in (None, "int8", "int4"):
         raise ValueError(f"quantized must be False/'int8'/'int4', "
                          f"got {quantized!r}")
-    dtype = compute_dtype
-    head_dim = cfg.hidden_size // cfg.num_attention_heads
+    return mode
+
+
+def make_layer_factories(dtype, mode: str | None):
+    """(DenseM, EmbedM) constructors for one transformer family.
+
+    mode=None -> plain nn.Dense / nn.Embed in `dtype`.
+    mode="int8" -> per-output-channel symmetric int8 kernels (kernel_q +
+    scale f32), dequantized at apply time inside the matmul operand read.
+    mode="int4" -> kernels packed two-nibbles-per-byte with Q4_GROUP-wise
+    scales (the group_size-64 layout of the reference's 4-bit MLX
+    checkpoints, integrations/mlx_lm_pipeline.py:54-78); embedding tables
+    stay int8 in both modes (gather from packed nibbles is not worth it;
+    the table is the precision-sensitive part).
+
+    Shared by the BERT/RoBERTa module below and pipeline/mpnet.py — every
+    family in the reference registry quantizes through the same machinery.
+    """
+    import flax.linen as nn
 
     class QuantDense(nn.Module):
         """int8 weights, per-OUTPUT-channel symmetric scales. XLA fuses the
@@ -152,6 +159,40 @@ def make_bert_module(cfg: BertConfig, compute_dtype=jnp.bfloat16,
         return (QuantEmbed(num, features, name=name) if mode
                 else nn.Embed(num, features, name=name, dtype=dtype))
 
+    return DenseM, EmbedM
+
+
+def roberta_position_ids(ids: jnp.ndarray, mask: jnp.ndarray,
+                         pad_id: int) -> jnp.ndarray:
+    """RoBERTa/XLM-R position indexing: live token t gets position
+    pad_id + (1-based index among live tokens); pads get pad_id. Mirrors
+    transformers' create_position_ids_from_input_ids (padded tokens stay
+    at padding_idx so the zeroed pad position row is gathered)."""
+    m = mask.astype(jnp.int32)
+    return jnp.cumsum(m, axis=1) * m + pad_id
+
+
+def make_bert_module(cfg: BertConfig, compute_dtype=jnp.bfloat16,
+                     quantized=False):
+    """Build the Flax module. Param tree layout is chosen so the HF mapping
+    in load_hf_params is positional-free: one named submodule per HF tensor
+    group. Covers BertModel AND RobertaModel/XLMRobertaModel checkpoints
+    (cfg.model_type picks the position-id convention; the encoder stack is
+    byte-identical between the two families).
+
+    quantized="int8"/"int4": see make_layer_factories. Pair with
+    quantize_params; any HF checkpoint quantizes at load — no special
+    model files needed (the reference served pre-baked 4-bit checkpoints,
+    integrations/mlx_lm_pipeline.py:54-78)."""
+    import flax.linen as nn
+
+    mode = quant_mode(quantized)
+    dtype = compute_dtype
+    head_dim = cfg.hidden_size // cfg.num_attention_heads
+    roberta = cfg.model_type in ("roberta", "xlm-roberta")
+
+    DenseM, EmbedM = make_layer_factories(dtype, mode)
+
     class Layer(nn.Module):
         @nn.compact
         def __call__(self, x, bias):
@@ -186,7 +227,10 @@ def make_bert_module(cfg: BertConfig, compute_dtype=jnp.bfloat16,
         def __call__(self, ids, mask):
             word = EmbedM(cfg.vocab_size, cfg.hidden_size,
                           name="word_embeddings")(ids)
-            pos_ids = jnp.arange(ids.shape[1])[None, :]
+            if roberta:
+                pos_ids = roberta_position_ids(ids, mask, cfg.pad_token_id)
+            else:
+                pos_ids = jnp.arange(ids.shape[1])[None, :]
             pos = EmbedM(cfg.max_position_embeddings, cfg.hidden_size,
                          name="position_embeddings")(pos_ids)
             typ = EmbedM(cfg.type_vocab_size, cfg.hidden_size,
@@ -226,15 +270,21 @@ def load_hf_params(model_dir: str | Path, cfg: BertConfig,
                    param_dtype=jnp.float32) -> dict:
     """HF BertModel state dict -> this module's Flax param tree.
 
-    Accepts both bare BertModel keys (``embeddings.word_embeddings.weight``)
-    and task-model keys with a ``bert.`` prefix. torch Linear weights are
-    (out, in) and transpose to Flax (in, out) kernels; LayerNorm
-    weight/bias become scale/bias."""
+    Accepts bare BertModel/RobertaModel/XLMRobertaModel keys
+    (``embeddings.word_embeddings.weight``) and task-model keys with a
+    ``bert.``/``roberta.`` prefix — the encoder key layout is identical
+    across the three families. torch Linear weights are (out, in) and
+    transpose to Flax (in, out) kernels; LayerNorm weight/bias become
+    scale/bias."""
     model_dir = Path(model_dir)
     raw = _read_hf_state_dict(model_dir)
     state = {}
     for k, v in raw.items():
-        state[k[5:] if k.startswith("bert.") else k] = np.asarray(v)
+        for prefix in ("bert.", "roberta."):
+            if k.startswith(prefix):
+                k = k[len(prefix):]
+                break
+        state[k] = np.asarray(v)
 
     def emb(name):
         return {"embedding": jnp.asarray(state[f"embeddings.{name}.weight"],
@@ -280,7 +330,8 @@ def load_hf_params(model_dir: str | Path, cfg: BertConfig,
 
 # --------------------------------------------------- int8/int4 quantization
 
-def quantize_params(variables: dict, bits: int = 8) -> dict:
+def quantize_params(variables: dict, bits: int = 8,
+                    keep_f32: tuple[str, ...] = ()) -> dict:
     """f32 param tree (load_hf_params) -> quantized tree for
     make_bert_module(quantized="int8"/"int4").
 
@@ -331,7 +382,10 @@ def quantize_params(variables: dict, bits: int = 8) -> dict:
     src = variables["params"]
     out = {}
     for name, sub in src.items():
-        if "kernel" in sub:
+        if name in keep_f32:  # e.g. MPNet's (32, heads) rel-pos bias table
+            out[name] = jax.tree_util.tree_map(
+                lambda v: jnp.asarray(v, jnp.float32), sub)
+        elif "kernel" in sub:
             out[name] = q_dense(sub)
         elif "embedding" in sub:
             out[name] = q_embed(sub)

@@ -82,6 +82,22 @@ EMBEDDING_MODEL_REGISTRY: dict[str, EncoderConfig] = {
         name="multilingual-512", dimension=512, num_layers=12, num_heads=8,
         hidden_dim=512, mlp_dim=2048, memory_estimate_mb=470,
         use_case="multilingual"),
+    # reference registry rows with non-BERT architectures
+    # (mlx_lm_pipeline.py:74-76): served pretrained via hf:<dir> with
+    # model_type mpnet / xlm-roberta; these entries document the shape
+    # and give the random-init Flax fallback the right hyperparameters
+    "mpnet-base-768": EncoderConfig(
+        name="mpnet-base-768", dimension=768, num_layers=12, num_heads=12,
+        hidden_dim=768, mlp_dim=3072, vocab_size=30527,
+        memory_estimate_mb=420, use_case="quality"),
+    "multilingual-e5-small-384": EncoderConfig(
+        name="multilingual-e5-small-384", dimension=384, num_layers=12,
+        num_heads=12, hidden_dim=384, mlp_dim=1536, vocab_size=250002,
+        memory_estimate_mb=470, use_case="multilingual"),
+    "multilingual-e5-base-768": EncoderConfig(
+        name="multilingual-e5-base-768", dimension=768, num_layers=12,
+        num_heads=12, hidden_dim=768, mlp_dim=3072, vocab_size=250002,
+        memory_estimate_mb=1070, use_case="multilingual"),
 }
 
 
@@ -337,14 +353,24 @@ class FlaxTransformerEncoder(BaseEncoder):
 # -------------------------------------------------- pretrained BERT encoder
 
 class BertEncoder(BaseEncoder):
-    """Serves a real pretrained BERT-family checkpoint (MiniLM, bge-*, any
-    HF BertModel) from a local directory: WordPiece tokenization against the
-    checkpoint's vocab.txt, the faithful Flax BERT forward from
-    pipeline/bert.py, mean or CLS pooling, L2 normalize. The capability the
-    reference got from mlx_embeddings' 4-bit community models
-    (integrations/mlx_lm_pipeline.py:149-321), minus the model-hub egress:
-    point checkpoint_path at a directory holding config.json + vocab.txt +
-    model.safetensors (or pytorch_model.bin)."""
+    """Serves a real pretrained transformer checkpoint from a local
+    directory, dispatching on config.json ``model_type``:
+
+    - ``bert`` (MiniLM, bge-*, gte-*, any HF BertModel): WordPiece over
+      vocab.txt + the faithful Flax BERT forward (pipeline/bert.py).
+    - ``xlm-roberta`` / ``roberta`` (multilingual-e5-*): Unigram/
+      SentencePiece over tokenizer.json (pipeline/unigram.py) + the same
+      encoder stack with RoBERTa position indexing.
+    - ``mpnet`` (all-mpnet-base-v2): WordPiece with <s>/</s>/<pad>
+      framing + the Flax MPNet with its shared relative-position bias
+      (pipeline/mpnet.py).
+
+    Together these cover every architecture in the reference's 7-model
+    registry (integrations/mlx_lm_pipeline.py:54-78), minus the model-hub
+    egress: point checkpoint_path at a directory holding config.json +
+    the tokenizer files + model.safetensors (or pytorch_model.bin).
+    Mean or CLS pooling, L2 normalize; quantize="int8"/"int4" applies to
+    all three families."""
 
     _max_batch = BATCH_BUCKETS[-1]
 
@@ -358,34 +384,68 @@ class BertEncoder(BaseEncoder):
         self._model = None
         self._tokenizer = None
 
+    def _make_tokenizer(self, ckpt, model_type: str):
+        from tpu_vector_db.pipeline.unigram import UnigramTokenizer
+        from tpu_vector_db.pipeline.wordpiece import WordPieceTokenizer
+
+        if model_type == "mpnet":
+            return WordPieceTokenizer(ckpt / "vocab.txt",
+                                      pad_token="<pad>", cls_token="<s>",
+                                      sep_token="</s>", unk_token="[UNK]")
+        tj = ckpt / "tokenizer.json"
+        if model_type in ("roberta", "xlm-roberta"):
+            if not tj.exists():
+                raise FileNotFoundError(
+                    f"{model_type} checkpoint needs tokenizer.json "
+                    f"(Unigram/SentencePiece) in {ckpt}")
+            return UnigramTokenizer(tj)
+        # BERT family: prefer vocab.txt; fall back to a Unigram
+        # tokenizer.json if that is all the checkpoint ships
+        if (ckpt / "vocab.txt").exists():
+            return WordPieceTokenizer(ckpt / "vocab.txt")
+        return UnigramTokenizer(tj)
+
     def load(self) -> None:
+        import json as _json
         from pathlib import Path
 
         from tpu_vector_db.pipeline import bert
-        from tpu_vector_db.pipeline.wordpiece import WordPieceTokenizer
 
         ckpt = Path(self.config.checkpoint_path)
-        bcfg = bert.BertConfig.from_hf_dir(ckpt)
+        raw_cfg = _json.loads((ckpt / "config.json").read_text())
+        model_type = raw_cfg.get("model_type", "bert")
         dtype = (jnp.bfloat16 if self.config.dtype == "bfloat16"
                  else jnp.float32)
-        self._bert_cfg = bcfg
         quant = self.config.quantize
         if quant not in ("none", "int8", "int4"):
             raise ValueError(
                 f"quantize must be 'none', 'int8' or 'int4', got {quant!r}")
         quantized = False if quant == "none" else quant
-        self._model = bert.make_bert_module(bcfg, compute_dtype=dtype,
-                                            quantized=quantized)
-        self._params = bert.load_hf_params(ckpt, bcfg)
+
+        if model_type == "mpnet":
+            from tpu_vector_db.pipeline import mpnet
+            mcfg = mpnet.MPNetConfig.from_hf_dir(ckpt)
+            self._arch_cfg = mcfg
+            self._model = mpnet.make_mpnet_module(
+                mcfg, compute_dtype=dtype, quantized=quantized)
+            self._params = mpnet.load_hf_params(ckpt, mcfg)
+            quantizer = mpnet.quantize_params
+        else:  # bert / roberta / xlm-roberta share the module
+            bcfg = bert.BertConfig.from_hf_dir(ckpt)
+            self._arch_cfg = self._bert_cfg = bcfg
+            self._model = bert.make_bert_module(
+                bcfg, compute_dtype=dtype, quantized=quantized)
+            self._params = bert.load_hf_params(ckpt, bcfg)
+            quantizer = bert.quantize_params
         if quantized:
             f32_bytes = bert.param_bytes(self._params)
-            self._params = bert.quantize_params(
+            self._params = quantizer(
                 self._params, bits=4 if quant == "int4" else 8)
             logger.info(
                 "%s-quantized %s: %.1f -> %.1f MB params",
                 quant, self.config.name, f32_bytes / 2**20,
                 bert.param_bytes(self._params) / 2**20)
-        self._tokenizer = WordPieceTokenizer(ckpt / "vocab.txt")
+        self._tokenizer = self._make_tokenizer(ckpt, model_type)
         self._pool = bert.pool_hidden
 
         model, pooling = self._model, self.pooling
@@ -398,13 +458,16 @@ class BertEncoder(BaseEncoder):
         self._forward = forward
         self._loaded = True
         # the served dimension is the checkpoint's hidden size
-        if self.config.dimension != bcfg.hidden_size:
+        hidden_size = self._arch_cfg.hidden_size
+        if self.config.dimension != hidden_size:
             logger.warning(
                 "config dimension %d != checkpoint hidden %d; serving %d",
-                self.config.dimension, bcfg.hidden_size, bcfg.hidden_size)
-            self.config.dimension = bcfg.hidden_size
-        logger.info("BERT encoder %s loaded from %s (%d layers, %s pooling)",
-                    self.config.name, ckpt, bcfg.num_hidden_layers, pooling)
+                self.config.dimension, hidden_size, hidden_size)
+            self.config.dimension = hidden_size
+        logger.info(
+            "%s encoder %s loaded from %s (%d layers, %s pooling)",
+            model_type, self.config.name, ckpt,
+            self._arch_cfg.num_hidden_layers, pooling)
 
     def _encode(self, texts: list[str]) -> np.ndarray:
         n = len(texts)

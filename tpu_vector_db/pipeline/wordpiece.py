@@ -57,7 +57,9 @@ class WordPieceTokenizer:
 
     def __init__(self, vocab: str | Path | dict[str, int],
                  lowercase: bool = True, strip_accents: bool | None = None,
-                 max_input_chars_per_word: int = 100) -> None:
+                 max_input_chars_per_word: int = 100,
+                 pad_token: str = PAD, unk_token: str = UNK,
+                 cls_token: str = CLS, sep_token: str = SEP) -> None:
         if isinstance(vocab, (str, Path)):
             self.vocab = self.load_vocab(vocab)
         else:
@@ -67,13 +69,18 @@ class WordPieceTokenizer:
         # HF semantics: strip_accents defaults to the lowercase flag
         self.strip_accents = lowercase if strip_accents is None else strip_accents
         self.max_input_chars_per_word = max_input_chars_per_word
-        for tok in (PAD, UNK, CLS, SEP):
+        # BERT vocabs use [PAD]/[UNK]/[CLS]/[SEP]; MPNet vocabs are
+        # WordPiece too but frame with <s>/</s> and pad with <pad>
+        # (transformers MPNetTokenizer defaults)
+        self.unk_token = unk_token
+        self._specials = (pad_token, cls_token, sep_token)
+        for tok in (pad_token, unk_token, cls_token, sep_token):
             if tok not in self.vocab:
                 raise ValueError(f"vocab missing special token {tok}")
-        self.pad_id = self.vocab[PAD]
-        self.unk_id = self.vocab[UNK]
-        self.cls_id = self.vocab[CLS]
-        self.sep_id = self.vocab[SEP]
+        self.pad_id = self.vocab[pad_token]
+        self.unk_id = self.vocab[unk_token]
+        self.cls_id = self.vocab[cls_token]
+        self.sep_id = self.vocab[sep_token]
 
     @staticmethod
     def load_vocab(path: str | Path) -> dict[str, int]:
@@ -139,7 +146,7 @@ class WordPieceTokenizer:
 
     def wordpiece(self, token: str) -> list[str]:
         if len(token) > self.max_input_chars_per_word:
-            return [UNK]
+            return [self.unk_token]
         pieces: list[str] = []
         start = 0
         while start < len(token):
@@ -154,7 +161,8 @@ class WordPieceTokenizer:
                     break
                 end -= 1
             if piece is None:
-                return [UNK]  # any unmatchable remainder voids the word
+                # any unmatchable remainder voids the word
+                return [self.unk_token]
             pieces.append(piece)
             start = end
         return pieces
@@ -189,9 +197,10 @@ class WordPieceTokenizer:
 
     def decode(self, ids: list[int], skip_special: bool = True) -> str:
         toks = []
+        specials = set(self._specials) | {MASK, "<mask>"}
         for i in ids:
-            tok = self.ids_to_tokens.get(int(i), UNK)
-            if skip_special and tok in (PAD, CLS, SEP, MASK):
+            tok = self.ids_to_tokens.get(int(i), self.unk_token)
+            if skip_special and tok in specials:
                 continue
             toks.append(tok)
         text = " ".join(toks).replace(" ##", "")
