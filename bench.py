@@ -178,6 +178,62 @@ def _scan_row(name, n, d, batch, k, dtype=jnp.bfloat16, metric="cosine",
     return row
 
 
+def _int4_row():
+    """int4 capacity mode: 32M x 768D on one chip (12.1 GiB packed db +
+    128 MiB scales — 2x int8's rows; ops/quant4.py + the quant4 kernel).
+    Keys are true scores of the dequantized rows (TPU-verified key_err
+    2e-4, score slack within the int4 noise band,
+    benchmarks/int4_tpu_check.py)."""
+    import functools
+
+    from tpu_vector_db.ops.pallas_scan import pallas_flat_topk
+    from tpu_vector_db.ops.quant4 import pack_int4
+
+    d, batch, k = 768, 64, 10
+    n = 32 * 2 ** 20 if ON_TPU else 20_000  # interpret mode on CPU
+    n_pad = ((n + BLOCK - 1) // BLOCK) * BLOCK
+    _log(f"flat_cosine_int4: building {n_pad} x {d} packed uint8")
+    fill = 2 ** 19
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1),
+                       static_argnames=("rows",))
+    def fill_fn(buf, scl, key, start, rows):
+        x = jax.random.normal(key, (rows, d), jnp.float32)
+        x = x / jnp.maximum(
+            jnp.sqrt(jnp.sum(x * x, -1, keepdims=True)), 1e-8)
+        p, s = pack_int4(x)
+        return (jax.lax.dynamic_update_slice(buf, p, (start, 0)),
+                jax.lax.dynamic_update_slice(scl, s, (start,)))
+
+    buf = jnp.zeros((n_pad, d // 2), jnp.uint8)
+    scl = jnp.zeros((n_pad,), jnp.float32)
+    key = jax.random.PRNGKey(0)
+    start = 0
+    while start < n_pad:
+        rows = min(fill, n_pad - start)
+        key, sub = jax.random.split(key)
+        buf, scl = fill_fn(buf, scl, sub, jnp.int32(start), rows)
+        start += rows
+    jax.block_until_ready(buf)
+
+    count = jnp.int32(n)
+
+    def engine(q, db):
+        packed, scales = db  # pytree arg: both must flow in as arguments
+        return pallas_flat_topk(q, packed, count, k, metric="cosine",
+                                db_scales=scales,
+                                interpret=not ON_TPU)
+
+    dt = _measure_chain(engine, _queries(batch, d), (buf, scl),
+                        20 if ON_TPU else 2)
+    qps = batch / dt
+    return {
+        "metric": f"flat_cosine_int4_{n//1000}Kx{d}D_b{batch}_k{k}",
+        "value": round(qps, 1), "unit": "QPS",
+        "latency_ms_per_batch": round(dt * 1e3, 3),
+    }
+
+
 def _ivf_row():
     """BASELINE config #3 regime: 1M x 768D clustered, IVF batch-1 with a
     score-recall@10 gate vs f32 ground truth (bf16 tie-ambiguity makes
@@ -316,6 +372,8 @@ def main() -> None:
     else:
         run("int8_capacity", lambda: _scan_row(
             "flat_cosine_int8", 100_000, 768, 64, 10, dtype=jnp.int8))
+    # int4 capacity mode: 32M x 768D on one chip (2x int8's rows)
+    run("int4_capacity", _int4_row)
 
     head = suite[0] if suite and "error" not in suite[0] else {}
     out = {

@@ -11,6 +11,10 @@ embedding model -> comparison table). Three model sources:
   vocab.txt, via transformers, no network) and serves it through the full
   BertEncoder path — WordPiece tokenization + the faithful Flax BERT
   forward, i.e. exactly what a real pretrained checkpoint costs;
+* ``mpnet:<shape>`` (base) and ``xlmr:<shape>`` (e5-small, e5-base):
+  the same for the reference registry's MPNet / XLM-RoBERTa rows
+  (mlx_lm_pipeline.py:74-76) — rel-pos-bias MPNet forward, Unigram
+  tokenizer + 250002-vocab XLM-R respectively;
 * ``hf:<dir>``: a real local HF checkpoint directory.
 
 Append ``+int8`` or ``+int4`` to a bert:/hf: model to serve it through the
@@ -51,6 +55,10 @@ BERT_SHAPES = {
     "bge-base": (12, 768),
     "gte-large": (24, 1024),
 }
+# the reference registry's non-BERT architectures
+# (mlx_lm_pipeline.py:74-76): MPNet and XLM-RoBERTa at real shapes
+MPNET_SHAPES = {"base": (12, 768)}
+XLMR_SHAPES = {"e5-small": (12, 384), "e5-base": (12, 768)}
 
 
 def ensure_hf_checkpoint(shape_name: str, base: Path) -> Path:
@@ -76,6 +84,64 @@ def ensure_hf_checkpoint(shape_name: str, base: Path) -> Path:
     return d
 
 
+def ensure_mpnet_checkpoint(shape_name: str, base: Path) -> Path:
+    """Random-init MPNetModel (rel-pos bias arch) in HF format."""
+    layers, hidden = MPNET_SHAPES[shape_name]
+    d = base / f"mpnet_{shape_name}"
+    if (d / "config.json").exists():
+        return d
+    import torch
+    import transformers
+    cfg = transformers.MPNetConfig(
+        vocab_size=30527, hidden_size=hidden, num_hidden_layers=layers,
+        num_attention_heads=max(hidden // 64, 1),
+        intermediate_size=hidden * 4, max_position_embeddings=514)
+    torch.manual_seed(0)
+    model = transformers.MPNetModel(cfg)
+    model.eval()
+    d.mkdir(parents=True, exist_ok=True)
+    model.save_pretrained(d)
+    words = ["<s>", "<pad>", "</s>", "[UNK]", "<mask>"] + [
+        f"tok{i}" for i in range(5000)]
+    (d / "vocab.txt").write_text("\n".join(words) + "\n")
+    return d
+
+
+def ensure_xlmr_checkpoint(shape_name: str, base: Path) -> Path:
+    """Random-init XLMRobertaModel + a small trained Unigram
+    tokenizer.json; vocab_size kept at the real 250002 so the embedding
+    table cost (the e5 models' dominant parameter mass) is realistic."""
+    layers, hidden = XLMR_SHAPES[shape_name]
+    d = base / f"xlmr_{shape_name}"
+    if (d / "config.json").exists():
+        return d
+    import torch
+    import transformers
+    from tokenizers import Tokenizer, models, normalizers, \
+        pre_tokenizers, trainers
+    cfg = transformers.XLMRobertaConfig(
+        vocab_size=250002, hidden_size=hidden, num_hidden_layers=layers,
+        num_attention_heads=max(hidden // 64, 1),
+        intermediate_size=hidden * 4, max_position_embeddings=514,
+        type_vocab_size=1, pad_token_id=1)
+    torch.manual_seed(0)
+    model = transformers.XLMRobertaModel(cfg)
+    model.eval()
+    d.mkdir(parents=True, exist_ok=True)
+    model.save_pretrained(d)
+    tok = Tokenizer(models.Unigram())
+    tok.normalizer = normalizers.Sequence([normalizers.NFKC()])
+    tok.pre_tokenizer = pre_tokenizers.Metaspace(
+        replacement="▁", prepend_scheme="always")
+    trainer = trainers.UnigramTrainer(
+        vocab_size=400, special_tokens=["<s>", "<pad>", "</s>", "<unk>"],
+        unk_token="<unk>")
+    tok.train_from_iterator(synth_docs(50, np.random.default_rng(0)),
+                            trainer)
+    tok.save(str(d / "tokenizer.json"))
+    return d
+
+
 def resolve_encoder(name: str, base: Path):
     quant = "none"
     spec = name
@@ -85,6 +151,12 @@ def resolve_encoder(name: str, base: Path):
         quant, spec = "int4", spec[:-5]
     if spec.startswith("bert:"):
         ckpt = ensure_hf_checkpoint(spec[5:], base)
+        return create_encoder(f"hf:{ckpt}", quantize=quant)
+    if spec.startswith("mpnet:"):
+        ckpt = ensure_mpnet_checkpoint(spec[6:], base)
+        return create_encoder(f"hf:{ckpt}", quantize=quant)
+    if spec.startswith("xlmr:"):
+        ckpt = ensure_xlmr_checkpoint(spec[5:], base)
         return create_encoder(f"hf:{ckpt}", quantize=quant)
     if spec.startswith("hf:"):
         return create_encoder(spec, quantize=quant)
@@ -143,17 +215,20 @@ def main() -> None:
     ap.add_argument("--path", default="/tmp/tpu_vdb_model_cmp")
     args = ap.parse_args()
 
+    shape_tables = {"bert:": BERT_SHAPES, "mpnet:": MPNET_SHAPES,
+                    "xlmr:": XLMR_SHAPES}
     for m in args.models:
         spec = m[:-5] if m.endswith(("+int8", "+int4")) else m
-        if spec.startswith("bert:"):
-            if spec[5:] not in BERT_SHAPES:
-                sys.exit(f"unknown bert shape {spec[5:]}; "
-                         f"known: {sorted(BERT_SHAPES)}")
+        prefix = next((p for p in shape_tables if spec.startswith(p)), None)
+        if prefix:
+            if spec[len(prefix):] not in shape_tables[prefix]:
+                sys.exit(f"unknown {prefix} shape {spec[len(prefix):]}; "
+                         f"known: {sorted(shape_tables[prefix])}")
         elif not spec.startswith("hf:") and \
                 spec not in EMBEDDING_MODEL_REGISTRY:
             sys.exit(f"unknown model {m}; known: "
                      f"{sorted(EMBEDDING_MODEL_REGISTRY)}, bert:<shape>, "
-                     "hf:<dir>")
+                     "mpnet:<shape>, xlmr:<shape>, hf:<dir>")
 
     rng = np.random.default_rng(0)
     docs = synth_docs(args.docs, rng)

@@ -301,3 +301,100 @@ class TestPallasScan:
         idx = np.asarray(idx)
         live = np.isfinite(np.asarray(vals))
         assert np.all((idx[live] >= 100) & (idx[live] < 200))
+
+
+class TestInt4Quantization:
+    """int4 capacity mode (ops/quant4.py + the quant4 kernel path):
+    2x int8's rows-per-chip; keys are the true scores of the dequantized
+    (on-sphere for cosine) rows."""
+
+    def test_pack_unpack_roundtrip(self, rng):
+        from tpu_vector_db.ops.quant4 import pack_int4, unpack_int4
+        x = rng.standard_normal((64, 256)).astype(np.float32)
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        packed, scales = pack_int4(jnp.asarray(x))
+        assert packed.shape == (64, 128) and packed.dtype == jnp.uint8
+        deq = np.asarray(unpack_int4(packed, scales))
+        # normalized packing: dequantized rows sit exactly on the sphere
+        np.testing.assert_allclose(np.linalg.norm(deq, axis=1), 1.0,
+                                   atol=1e-5)
+        # quantization error bounded by the nibble step (~1 - d*step^2/24;
+        # 0.99 expected at d=256)
+        cos = np.sum(deq * x, axis=1)
+        assert np.all(cos > 0.98), cos.min()
+
+    def test_dequant_sqnorms(self, rng):
+        from tpu_vector_db.ops.quant4 import (dequant_sqnorms, pack_int4,
+                                              unpack_int4)
+        x = rng.standard_normal((32, 256)).astype(np.float32) * 3.0
+        packed, scales = pack_int4(jnp.asarray(x), normalize=False)
+        deq = np.asarray(unpack_int4(packed, scales))
+        got = np.asarray(dequant_sqnorms(packed, scales))
+        np.testing.assert_allclose(got, np.sum(deq * deq, axis=1),
+                                   rtol=1e-5)
+
+    @pytest.mark.parametrize("k", [10, 100])
+    def test_pallas_int4_cosine(self, rng, k):
+        """Kernel keys == numpy scores of the dequantized rows (up to bf16
+        matmul rounding), and selected rows reach the f32 ground-truth
+        k-th score within the int4 noise bound."""
+        from tpu_vector_db.ops.pallas_scan import pallas_flat_topk
+        from tpu_vector_db.ops.quant4 import pack_int4, unpack_int4
+        n, d, qn = 2048, 256, 4
+        count = 2000
+        db = rng.standard_normal((n, d)).astype(np.float32)
+        q = rng.standard_normal((qn, d)).astype(np.float32)
+        dbj = D.l2_normalize(jnp.asarray(db))
+        qj = D.l2_normalize(jnp.asarray(q))
+        packed, scales = pack_int4(dbj)
+        vals, idx = pallas_flat_topk(
+            qj, packed, np.int32(count), k, metric="cosine",
+            db_scales=scales, block_rows=512, interpret=True)
+        vals, idx = np.asarray(vals), np.asarray(idx)
+
+        deq = np.asarray(unpack_int4(packed, scales), np.float32)
+        gt_deq = np.asarray(qj, np.float32) @ deq[:count].T
+        sel_deq = np.take_along_axis(gt_deq, idx, axis=1)
+        np.testing.assert_allclose(vals, sel_deq, atol=5e-3)
+
+        gt = np.asarray(qj, np.float32) @ np.asarray(
+            dbj[:count], np.float32).T
+        kth = np.sort(gt, axis=1)[:, -k]
+        sel = np.take_along_axis(gt, idx, axis=1)
+        assert np.all(sel >= kth[:, None] - 0.05), (sel.min(), kth)
+
+    def test_pallas_int4_euclidean(self, rng):
+        from tpu_vector_db.ops.pallas_scan import pallas_flat_topk
+        from tpu_vector_db.ops.quant4 import (dequant_sqnorms, pack_int4,
+                                              unpack_int4)
+        n, d, qn, k = 1024, 256, 3, 10
+        db = rng.standard_normal((n, d)).astype(np.float32) * 2.0
+        q = rng.standard_normal((qn, d)).astype(np.float32)
+        packed, scales = pack_int4(jnp.asarray(db), normalize=False)
+        sq = dequant_sqnorms(packed, scales)
+        vals, idx = pallas_flat_topk(
+            jnp.asarray(q), packed, np.int32(n), k, metric="euclidean",
+            db_scales=scales, db_sqnorms=sq, block_rows=512,
+            interpret=True)
+        vals, idx = np.asarray(vals), np.asarray(idx)
+        # keys are -(||q - deq||^2)
+        deq = np.asarray(unpack_int4(packed, scales))
+        d2 = ((q[:, None, :] - deq[None, :, :]) ** 2).sum(-1)
+        sel = np.take_along_axis(-d2, idx, axis=1)
+        np.testing.assert_allclose(vals, sel, rtol=1e-2, atol=0.3)
+
+    def test_pallas_int4_rejects_narrow_dim(self, rng):
+        from tpu_vector_db.ops.pallas_scan import pallas_flat_topk
+        with pytest.raises(ValueError, match="256"):
+            pallas_flat_topk(
+                jnp.zeros((1, 128)), jnp.zeros((512, 64), jnp.uint8),
+                np.int32(10), 5, db_scales=jnp.ones((512,)),
+                interpret=True)
+
+    def test_scales_only_for_int4(self, rng):
+        from tpu_vector_db.ops.pallas_scan import pallas_flat_topk
+        with pytest.raises(ValueError, match="scales"):
+            pallas_flat_topk(
+                jnp.zeros((1, 256)), jnp.zeros((512, 256)),
+                np.int32(10), 5, db_scales=jnp.ones((512,)),
+                interpret=True)

@@ -347,3 +347,88 @@ class TestInt8Storage:
         assert s2.get_stats()["storage_dtype"] == "int8"
         ids, scores, _ = s2.query(x[11], k=1)
         assert ids[0] == 11 and scores[0] > 0.99
+
+
+class TestInt4Storage:
+    """storage_dtype='int4': 2x int8's capacity for the exact cosine
+    engine (two nibbles per byte, per-row scale streamed into the kernel;
+    ops/quant4.py). Scores are the true cosine of the dequantized
+    on-sphere rows — ~0.005 noise vs f32, so gates are looser than int8's."""
+
+    def test_query_quality(self, tmp_path, rng):
+        x = rng.standard_normal((500, 256)).astype(np.float32)
+        s4 = TPUVectorStore(tmp_path / "i4", VectorStoreConfig(
+            dimension=256, metric="cosine", storage_dtype="int4",
+            persist_mode="off"))
+        s4.add_vectors(x)
+        ids, scores, _ = s4.query(x[7], k=5)
+        assert ids[0] == 7
+        assert scores[0] > 0.97
+        assert all(-1.01 <= s <= 1.01 for s in scores)
+
+        # score-recall vs the f32 store (id-ranks swap within the int4
+        # noise band; CLAUDE.md bf16 tie-ambiguity lesson applies 10x here)
+        sf = TPUVectorStore(tmp_path / "f32", VectorStoreConfig(
+            dimension=256, metric="cosine", persist_mode="off"))
+        sf.add_vectors(x)
+        for i in range(10):
+            _, s4_scores, _ = s4.query(x[i], k=10)
+            _, sf_scores, _ = sf.query(x[i], k=10)
+            assert abs(s4_scores[0] - sf_scores[0]) < 0.03
+
+    def test_odd_dimension_pads_to_256(self, tmp_path, rng):
+        """d=384 pads to 512 for the packed lane-tile constraint; queries
+        still work end-to-end."""
+        x = rng.standard_normal((100, 384)).astype(np.float32)
+        s4 = TPUVectorStore(tmp_path / "i4odd", VectorStoreConfig(
+            dimension=384, metric="cosine", storage_dtype="int4",
+            persist_mode="off"))
+        s4.add_vectors(x)
+        ids, scores, _ = s4.query(x[42], k=3)
+        assert ids[0] == 42 and scores[0] > 0.97
+
+    def test_capacity_accounting(self, tmp_path, rng):
+        s4 = TPUVectorStore(tmp_path / "i4c", VectorStoreConfig(
+            dimension=256, metric="cosine", storage_dtype="int4",
+            persist_mode="off"))
+        s4.add_vectors(rng.standard_normal((100, 256)).astype(np.float32))
+        s8 = TPUVectorStore(tmp_path / "i8c", VectorStoreConfig(
+            dimension=256, metric="cosine", storage_dtype="int8",
+            persist_mode="off"))
+        s8.add_vectors(rng.standard_normal((100, 256)).astype(np.float32))
+        assert s4.get_stats()["memory_usage_mb"] < \
+            s8.get_stats()["memory_usage_mb"]
+
+    def test_config_guards(self):
+        with pytest.raises(ValueError):
+            VectorStoreConfig(dimension=8, metric="euclidean",
+                              storage_dtype="int4")
+        with pytest.raises(ValueError):
+            VectorStoreConfig(dimension=8, metric="cosine",
+                              storage_dtype="int4", enable_ann=True)
+        with pytest.raises(ValueError):
+            VectorStoreConfig(dimension=8, metric="cosine",
+                              storage_dtype="int4",
+                              ann_params={"index_type": "ivf"})
+
+    def test_persistence_roundtrip(self, tmp_path, rng):
+        x = rng.standard_normal((300, 256)).astype(np.float32)
+        cfg = VectorStoreConfig(dimension=256, metric="cosine",
+                                storage_dtype="int4")
+        s = TPUVectorStore(tmp_path / "p4", cfg)
+        s.add_vectors(x)
+        s.flush()
+        s2 = TPUVectorStore(tmp_path / "p4")  # config from manifest
+        assert s2.get_stats()["storage_dtype"] == "int4"
+        ids, scores, _ = s2.query(x[11], k=1)
+        assert ids[0] == 11 and scores[0] > 0.97
+
+    def test_filtered_query(self, tmp_path, rng):
+        x = rng.standard_normal((200, 256)).astype(np.float32)
+        s4 = TPUVectorStore(tmp_path / "i4f", VectorStoreConfig(
+            dimension=256, metric="cosine", storage_dtype="int4",
+            persist_mode="off"))
+        s4.add_vectors(x, [{"par": i % 2} for i in range(200)])
+        ids, _, metas = s4.query(x[10], k=5, filter_metadata={"par": 0})
+        assert ids[0] == 10
+        assert all(m["par"] == 0 for m in metas)

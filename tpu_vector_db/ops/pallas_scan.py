@@ -62,9 +62,48 @@ def pick_block_rows(d_pad: int, itemsize: int) -> int:
     return block
 
 
-def _scan_kernel(count_ref, q_ref, db_ref, sq_ref, mask_ref, vals_ref,
-                 idx_ref, best_vals, best_idx, *, k: int, block_rows: int,
-                 metric: str, filtered: bool):
+def _cross_block(q, block, scl_ref, quant4: bool):
+    """(Q, d) x (B, d|d/2) -> (Q, B) f32 cross term, widening
+    int8/int4 capacity-mode blocks in VMEM.
+
+    int8: the DMA moved half the bytes of bf16; the VPU widens in VMEM
+    (int8 values are integers <= 127, exact in bf16) and the MXU runs
+    bf16 as usual. The XLA scan converted through HBM and ran
+    conversion-bound at ~197 GB/s (VERDICT r2).
+
+    int4 (quant4): the (B, d/2) uint8 block packs column j's LOW nibble as
+    component j and its HIGH nibble as component j + d/2 — so unpacking is
+    one i32 widen + two nibble ops + one LANE concatenate in natural
+    column order (an interleaved layout would need a lane-splitting
+    reshape Mosaic rejects; uint8->bf16 casts and 8-bit vector shifts
+    don't lower). The offset-8 is folded OUT of the per-element path:
+    q . (n - 8) s = s (q . n) - 8 s sum(q), so the VPU never touches the
+    (B, d) tensor beyond the unpack itself. Returns the true cross term
+    of the dequantized rows.
+    """
+    if quant4:
+        u = block.astype(jnp.int32)
+        lo = (u & 15).astype(jnp.bfloat16)          # components 0..d/2
+        hi = (u >> 4).astype(jnp.bfloat16)          # components d/2..d
+        dh = lo.shape[1]
+        # two half-width matmuls instead of a lane concatenate + one: the
+        # unpack is the kernel's VPU bottleneck and the concat is pure
+        # data movement; the MXU runs far under its roofline here
+        cross = (jnp.dot(q[:, :dh], lo.T,
+                         preferred_element_type=jnp.float32)
+                 + jnp.dot(q[:, dh:], hi.T,
+                           preferred_element_type=jnp.float32))
+        qsum8 = 8.0 * jnp.sum(q.astype(jnp.float32), axis=1)   # (Q,)
+        return (cross - qsum8[:, None]) * scl_ref[:][None, :]
+    if block.dtype == jnp.int8:
+        block = block.astype(jnp.bfloat16)
+    return jnp.dot(q, block.T, preferred_element_type=jnp.float32)
+
+
+def _scan_kernel(count_ref, q_ref, db_ref, sq_ref, mask_ref, scl_ref,
+                 vals_ref, idx_ref, best_vals, best_idx, *, k: int,
+                 block_rows: int, metric: str, filtered: bool,
+                 quant4: bool):
     i = pl.program_id(0)
     n_blocks = pl.num_programs(0)
 
@@ -74,14 +113,7 @@ def _scan_kernel(count_ref, q_ref, db_ref, sq_ref, mask_ref, vals_ref,
         best_idx[:] = jnp.zeros_like(best_idx)
 
     q = q_ref[:]                                   # (Q, d) VMEM
-    block = db_ref[:]                              # (B, d) VMEM (pipelined)
-    if block.dtype == jnp.int8:
-        # int8 capacity mode: the DMA moved half the bytes of bf16; the
-        # VPU widens in VMEM (int8 values are integers <= 127, exact in
-        # bf16) and the MXU runs bf16 as usual. The XLA scan converted
-        # through HBM and ran conversion-bound at ~197 GB/s (VERDICT r2).
-        block = block.astype(jnp.bfloat16)
-    cross = jnp.dot(q, block.T, preferred_element_type=jnp.float32)
+    cross = _cross_block(q, db_ref[:], scl_ref, quant4)
     if metric == "euclidean":
         scores = 2.0 * cross - sq_ref[:][None, :]  # rank-equivalent key
     else:
@@ -215,9 +247,10 @@ def bitonic_merge_desc(vals, ids):
     return vals, ids
 
 
-def _scan_kernel_bigk(count_ref, q_ref, db_ref, sq_ref, mask_ref, vals_ref,
-                      idx_ref, best_vals, best_idx, sc_ref, *, k: int,
-                      kp: int, block_rows: int, metric: str, filtered: bool):
+def _scan_kernel_bigk(count_ref, q_ref, db_ref, sq_ref, mask_ref, scl_ref,
+                      vals_ref, idx_ref, best_vals, best_idx, sc_ref, *,
+                      k: int, kp: int, block_rows: int, metric: str,
+                      filtered: bool, quant4: bool):
     i = pl.program_id(0)
     n_blocks = pl.num_programs(0)
     q_n = q_ref.shape[0]
@@ -229,10 +262,7 @@ def _scan_kernel_bigk(count_ref, q_ref, db_ref, sq_ref, mask_ref, vals_ref,
         best_idx[:] = jnp.zeros_like(best_idx)
 
     q = q_ref[:]
-    block = db_ref[:]
-    if block.dtype == jnp.int8:
-        block = block.astype(jnp.bfloat16)  # see _scan_kernel int8 note
-    cross = jnp.dot(q, block.T, preferred_element_type=jnp.float32)
+    cross = _cross_block(q, db_ref[:], scl_ref, quant4)
     if metric == "euclidean":
         scores = 2.0 * cross - sq_ref[:][None, :]
     else:
@@ -296,7 +326,7 @@ def _scan_kernel_bigk(count_ref, q_ref, db_ref, sq_ref, mask_ref, vals_ref,
     jax.jit,
     static_argnames=("k", "metric", "block_rows", "interpret"))
 def pallas_flat_topk(queries, db, count, k: int, metric: str = "cosine",
-                     db_sqnorms=None, filter_mask=None,
+                     db_sqnorms=None, filter_mask=None, db_scales=None,
                      block_rows: int | None = None,
                      interpret: bool = False):
     """Exact top-k over prepared (cosine: pre-normalized) db rows.
@@ -304,27 +334,44 @@ def pallas_flat_topk(queries, db, count, k: int, metric: str = "cosine",
     Returns (keys (Q, k) f32, indices (Q, k) i32) in the same maximize-key
     convention as ops/scan.flat_scan_topk. Padding rows (>= count) never
     appear unless fewer than k rows are live.
+
+    int4 capacity mode: pass db as (N, d_pad//2) uint8 (ops/quant4.pack)
+    with db_scales = per-row f32 dequant scales; keys are the true scores
+    of the dequantized rows. Requires d_pad % 256 == 0 (the packed minor
+    dim must stay a lane-tile multiple).
     """
     if k > MAX_PALLAS_K_BIG:
         raise ValueError(f"pallas path supports k <= {MAX_PALLAS_K_BIG}")
-    n_pad, d_pad = db.shape
+    quant4 = db.dtype == jnp.uint8
+    n_pad, d_cols = db.shape
+    d_pad = d_cols * 2 if quant4 else d_cols
+    if quant4 and d_pad % 256:
+        raise ValueError(f"int4 mode needs d_pad % 256 == 0, got {d_pad}")
+    if db_scales is not None and not quant4:
+        raise ValueError("db_scales is only meaningful for uint8-packed "
+                         "int4 databases")
     q_n = queries.shape[0]
-    block = block_rows or pick_block_rows(d_pad, db.dtype.itemsize)
+    # int4 streams half the bytes of int8 but materializes the widened
+    # bf16 block in VMEM — budget the block like bf16
+    block = block_rows or pick_block_rows(
+        d_pad, 2 if quant4 else db.dtype.itemsize)
     assert n_pad % block == 0, (n_pad, block)
     n_blocks = n_pad // block
     bigk = k > MAX_PALLAS_K
     kp = max(_next_pow2(k), 128) if bigk else k
     assert not bigk or block // _SEG <= kp, (block, kp)
 
-    # int8 capacity mode keeps queries bf16 (casting unit-norm queries to
-    # int8 would floor them to zero); the kernel widens the db block in VMEM
-    q = queries.astype(jnp.bfloat16 if db.dtype == jnp.int8 else db.dtype)
+    # int8/int4 capacity modes keep queries bf16 (casting unit-norm queries
+    # to int8 would floor them to zero); the kernel widens the db in VMEM
+    q = queries.astype(jnp.bfloat16 if db.dtype.itemsize == 1 else db.dtype)
     if db_sqnorms is None:
         # dummy streamed input keeps the kernel signature uniform
         db_sqnorms = jnp.zeros((n_pad,), jnp.float32)
     filtered = filter_mask is not None
     mask = (filter_mask.astype(jnp.float32) if filtered
             else jnp.zeros((n_pad,), jnp.float32))
+    if db_scales is None:
+        db_scales = jnp.zeros((n_pad,), jnp.float32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -332,12 +379,14 @@ def pallas_flat_topk(queries, db, count, k: int, metric: str = "cosine",
         in_specs=[
             pl.BlockSpec((q_n, d_pad), lambda i, s: (0, 0),
                          memory_space=pltpu.VMEM),      # queries: resident
-            pl.BlockSpec((block, d_pad), lambda i, s: (i, 0),
+            pl.BlockSpec((block, d_cols), lambda i, s: (i, 0),
                          memory_space=pltpu.VMEM),      # db: streamed
             pl.BlockSpec((block,), lambda i, s: (i,),
                          memory_space=pltpu.VMEM),      # sqnorms: streamed
             pl.BlockSpec((block,), lambda i, s: (i,),
                          memory_space=pltpu.VMEM),      # filter: streamed
+            pl.BlockSpec((block,), lambda i, s: (i,),
+                         memory_space=pltpu.VMEM),      # scales: streamed
         ],
         out_specs=[
             pl.BlockSpec((q_n, k), lambda i, s: (0, 0),
@@ -358,10 +407,11 @@ def pallas_flat_topk(queries, db, count, k: int, metric: str = "cosine",
     if bigk:
         kernel = functools.partial(_scan_kernel_bigk, k=k, kp=kp,
                                    block_rows=block, metric=metric,
-                                   filtered=filtered)
+                                   filtered=filtered, quant4=quant4)
     else:
         kernel = functools.partial(_scan_kernel, k=k, block_rows=block,
-                                   metric=metric, filtered=filtered)
+                                   metric=metric, filtered=filtered,
+                                   quant4=quant4)
     vals, idx = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -371,10 +421,10 @@ def pallas_flat_topk(queries, db, count, k: int, metric: str = "cosine",
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * q_n * n_pad * d_pad,
-            bytes_accessed=n_pad * d_pad * db.dtype.itemsize,
+            bytes_accessed=n_pad * d_cols * db.dtype.itemsize,
             transcendentals=0),
         interpret=interpret,
-    )(jnp.asarray([count], jnp.int32), q, db, db_sqnorms, mask)
+    )(jnp.asarray([count], jnp.int32), q, db, db_sqnorms, mask, db_scales)
 
     if metric == "euclidean":
         q_sq = jnp.sum(queries.astype(jnp.float32) ** 2, axis=-1,

@@ -12,7 +12,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field, asdict
 
 VALID_METRICS = ("cosine", "euclidean", "dot_product")
-VALID_DTYPES = ("float32", "bfloat16", "int8")
+VALID_DTYPES = ("float32", "bfloat16", "int8", "int4")
 VALID_PERSIST = ("sync", "lazy", "off")
 
 
@@ -53,21 +53,27 @@ class VectorStoreConfig:
             raise ValueError(
                 f"persist_mode must be one of {VALID_PERSIST}, got "
                 f"{self.persist_mode!r}")
-        if self.storage_dtype == "int8":
-            # int8 is a CAPACITY mode for the exact engine: rows are
-            # unit-norm so a fixed 127 scale quantizes without per-row
-            # scale streams. Cosine-only (euclidean/dot rows are
-            # unnormalized) and exact-only (index structures score
-            # through their own gathers).
+        if self.storage_dtype in ("int8", "int4"):
+            # int8/int4 are CAPACITY modes for the exact engine: rows are
+            # unit-norm (int8: fixed 127 scale; int4: per-row scale
+            # streamed into the kernel, two nibbles per byte). Cosine-only
+            # (euclidean/dot rows are unnormalized) and exact-only (index
+            # structures score through their own gathers).
             if self.metric != "cosine":
                 raise ValueError(
-                    "storage_dtype='int8' requires metric='cosine' "
-                    "(rows must be unit-norm for the fixed-scale "
+                    f"storage_dtype={self.storage_dtype!r} requires "
+                    "metric='cosine' (rows must be unit-norm for the "
                     "quantizer)")
             if self.enable_ann:
                 raise ValueError(
-                    "storage_dtype='int8' supports the exact engine only "
-                    "(disable ANN or use bfloat16)")
+                    f"storage_dtype={self.storage_dtype!r} supports the "
+                    "exact engine only (disable ANN or use bfloat16)")
+        if self.storage_dtype == "int4":
+            itype = self.ann_params.get("index_type", "auto")
+            if itype not in ("auto", "flat"):
+                raise ValueError(
+                    "storage_dtype='int4' serves the exact scan only; "
+                    f"index_type={itype!r} is not supported")
         if self.dimension < 1 or self.dimension > 8192:
             raise ValueError(f"dimension out of range: {self.dimension}")
         itype = self.ann_params.get("index_type", "auto")

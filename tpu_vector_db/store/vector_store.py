@@ -58,7 +58,8 @@ def _write_scalars(buf: jnp.ndarray, block: jnp.ndarray, offset) -> jnp.ndarray:
     jax.jit,
     static_argnames=("k", "metric", "db_normalized", "block_rows", "engine"))
 def _query_packed(queries, db, count, k, metric, db_normalized,
-                  db_sqnorms, filter_mask, block_rows, engine="xla"):
+                  db_sqnorms, filter_mask, block_rows, engine="xla",
+                  db_scales=None):
     """Scan + pack (keys, indices) into ONE array so the host does a single
     device->host transfer per query call. On a tunneled/remote TPU a D2H
     round-trip costs ~10ms, so two transfers per query would double the
@@ -67,15 +68,20 @@ def _query_packed(queries, db, count, k, metric, db_normalized,
 
     engine="pallas" uses the fused single-sweep kernel (ops/pallas_scan.py,
     ~1.5x the XLA scan's QPS at 1M x 768D bf16); metadata filters stream
-    into the kernel as a per-block f32 mask."""
+    into the kernel as a per-block f32 mask. int4 stores (uint8-packed db
+    + db_scales) dequantize inside the kernel; the XLA fallback
+    materializes the bf16 rows (CPU correctness path only)."""
     if engine == "pallas":
         from tpu_vector_db.ops.pallas_scan import pallas_flat_topk
         if metric == "cosine":
             queries = D.l2_normalize(queries)
         keys, idx = pallas_flat_topk(
             queries, db, count, k, metric=metric, db_sqnorms=db_sqnorms,
-            filter_mask=filter_mask)
+            filter_mask=filter_mask, db_scales=db_scales)
     else:
+        if db.dtype == jnp.uint8:  # int4: dequantize for the XLA scan
+            from tpu_vector_db.ops.quant4 import unpack_int4
+            db = unpack_int4(db, db_scales).astype(jnp.bfloat16)
         keys, idx = flat_scan_topk(
             queries, db, count, k, metric=metric,
             db_normalized=db_normalized, db_sqnorms=db_sqnorms,
@@ -210,11 +216,17 @@ class TPUVectorStore:
         self._dirty = False
 
         d = self.config.dimension
-        self._d_pad = ((d + 127) // 128) * 128
+        # int4 packs two components per byte along d; the packed minor dim
+        # must stay a lane-tile multiple, so d pads to 256 (33% pad waste
+        # at d=384 — still 1.5x int8's density there)
+        self._quant4 = self.config.storage_dtype == "int4"
+        pad_to = 256 if self._quant4 else 128
+        self._d_pad = ((d + pad_to - 1) // pad_to) * pad_to
         self._block = int(self.config.block_rows)
         self._dtype = {"bfloat16": jnp.bfloat16,
-                       "int8": jnp.int8}.get(self.config.storage_dtype,
-                                             jnp.float32)
+                       "int8": jnp.int8,
+                       "int4": jnp.uint8}.get(self.config.storage_dtype,
+                                              jnp.float32)
 
         # host canonical state
         self._count = 0
@@ -227,6 +239,7 @@ class TPUVectorStore:
         self._cap = 0
         self._db: jnp.ndarray | None = None        # (cap, d_pad) prepared
         self._sqnorms: jnp.ndarray | None = None   # (cap,) f32, euclidean only
+        self._scales: jnp.ndarray | None = None    # (cap,) f32, int4 only
 
         # ANN index (built lazily; see index/beam_graph.py)
         self._ann = None
@@ -261,12 +274,19 @@ class TPUVectorStore:
             cap *= 2
         return ((cap + self._block - 1) // self._block) * self._block
 
-    def _prepare_block(self, arr: np.ndarray) -> jnp.ndarray:
-        """float32 (n,d) host rows -> query-optimized device rows (n, d_pad)."""
+    def _prepare_block(self, arr: np.ndarray):
+        """float32 (n,d) host rows -> query-optimized device rows
+        (n, d_pad); int4 mode returns ((n, d_pad//2) packed uint8,
+        (n,) f32 scales)."""
         x = jnp.asarray(arr, dtype=jnp.float32)
         if self.metric == "cosine":
             x = D.l2_normalize(x)
-        x = D.pad_dim(x)
+        x = D.pad_dim(x, multiple=256 if self._quant4 else 128)
+        if self._quant4:
+            from tpu_vector_db.ops.quant4 import pack_int4
+            # per-row scales fold the dequantized norm back to 1, so the
+            # kernel's keys are the true cosine of the stored point
+            return pack_int4(x)
         if self._dtype == jnp.int8:
             # unit-norm rows -> fixed 127 scale, no per-row scale stream;
             # _flat_topk divides scores back by 127
@@ -276,12 +296,18 @@ class TPUVectorStore:
     def _reset_device(self, capacity: int) -> None:
         """(Re)build the device buffers from host state at a new capacity."""
         self._cap = capacity
-        self._db = jnp.zeros((capacity, self._d_pad), dtype=self._dtype)
+        cols = self._d_pad // 2 if self._quant4 else self._d_pad
+        self._db = jnp.zeros((capacity, cols), dtype=self._dtype)
         self._sqnorms = (jnp.zeros((capacity,), jnp.float32)
                         if self.metric == "euclidean" else None)
+        self._scales = (jnp.zeros((capacity,), jnp.float32)
+                        if self._quant4 else None)
         if self._count:
             live = self._host_buf[: self._count]
             block = self._prepare_block(live)
+            if self._quant4:
+                block, scales = block
+                self._scales = _write_scalars(self._scales, scales, 0)
             self._db = _write_rows(self._db, block, 0)
             if self._sqnorms is not None:
                 sq = jnp.sum(jnp.asarray(live, jnp.float32) ** 2, axis=-1)
@@ -323,6 +349,10 @@ class TPUVectorStore:
                 added_at = old
             else:
                 block = self._prepare_block(arr)
+                if self._quant4:
+                    block, scales = block
+                    self._scales = _write_scalars(
+                        self._scales, scales, self._count)
                 self._db = _write_rows(self._db, block, self._count)
                 if self._sqnorms is not None:
                     sq = jnp.sum(jnp.asarray(arr, jnp.float32) ** 2, axis=-1)
@@ -353,6 +383,7 @@ class TPUVectorStore:
             self._cap = 0
             self._db = None
             self._sqnorms = None
+            self._scales = None
             self._ann = None
             self._ann_stale = True
             self._auto_kind = None
@@ -382,12 +413,14 @@ class TPUVectorStore:
             MAX_PALLAS_K_BIG, pick_block_rows)
         if k > MAX_PALLAS_K_BIG:
             return False
-        block = pick_block_rows(self._d_pad, self._db.dtype.itemsize)
+        block = pick_block_rows(
+            self._d_pad, 2 if self._quant4 else self._db.dtype.itemsize)
         return self._cap % block == 0
 
     def _flat_topk(self, queries: np.ndarray, k: int,
                    filter_mask: jnp.ndarray | None):
-        q = D.pad_dim(jnp.asarray(queries, jnp.float32))
+        q = D.pad_dim(jnp.asarray(queries, jnp.float32),
+                      multiple=256 if self._quant4 else 128)
         engine = ("pallas" if self._use_pallas(k, filter_mask is not None)
                   else "xla")
         packed = _query_packed(
@@ -398,6 +431,7 @@ class TPUVectorStore:
             filter_mask=filter_mask,
             block_rows=self._scan_block(),
             engine=engine,
+            db_scales=self._scales,
         )
         packed = np.asarray(packed)  # the one blocking D2H
         kk = packed.shape[-1] // 2
@@ -567,6 +601,8 @@ class TPUVectorStore:
         (index_type='beam_graph') for filtered+incremental workloads that
         want graph semantics. High-batch queries re-route to the exact scan
         at query time (batch_query) regardless of the built index."""
+        if self._quant4:
+            return "flat"  # capacity mode: the exact scan serves everything
         flat_rows = self.config.ann_params.get("auto_flat_rows", 100_000)
         if self._count < flat_rows:
             return "flat"
@@ -827,7 +863,8 @@ class TPUVectorStore:
 
     def get_stats(self) -> dict:
         with self._lock:
-            device_mb = (self._cap * self._d_pad *
+            device_cols = self._d_pad // 2 if self._quant4 else self._d_pad
+            device_mb = (self._cap * device_cols *
                          jnp.dtype(self._dtype).itemsize) / 2**20
             host_mb = (self._host_cap * self.config.dimension * 4) / 2**20
             return {
