@@ -433,3 +433,38 @@ def test_coalescer_isolates_malformed_vectors(client_factory, rng):
             assert results[2][0] == 200
             assert results[2][1]["results"][0]["index"] == 1
     run(go())
+
+
+def test_capacity_dtype_store_via_rest(client_factory, rng):
+    """int8/int4 capacity modes are creatable and servable through the
+    REST surface; invalid combos 400 (store/config.py cross-validation)."""
+    async def go():
+        async with client_factory() as client:
+            r = await client.post("/admin/create_store", headers=ADMIN, json={
+                "user_id": "u", "model_id": "cap4", "dimension": 256,
+                "metric": "cosine", "storage_dtype": "int4"})
+            assert r.status == 201, await r.text()
+            vecs = rng.standard_normal((50, 256)).astype("float32")
+            r = await client.post("/vectors/add", headers=AUTH, json={
+                "user_id": "u", "model_id": "cap4",
+                "vectors": vecs.tolist(),
+                "metadata": [{"i": i} for i in range(50)]})
+            assert r.status == 200, await r.text()
+            r = await client.post("/vectors/query", headers=AUTH, json={
+                "user_id": "u", "model_id": "cap4",
+                "query": vecs[7].tolist(), "k": 3})
+            assert r.status == 200
+            body = await r.json()
+            assert body["results"][0]["metadata"]["i"] == 7
+            r = await client.get("/vectors/stats",
+                                 params={"user_id": "u",
+                                         "model_id": "cap4"},
+                                 headers=AUTH)
+            assert (await r.json())["storage_dtype"] == "int4"
+
+            # euclidean + int4 must 400 (quantizer needs unit-norm rows)
+            r = await client.post("/admin/create_store", headers=ADMIN, json={
+                "user_id": "u", "model_id": "bad", "dimension": 64,
+                "metric": "euclidean", "storage_dtype": "int4"})
+            assert r.status == 400, await r.text()
+    run(go())

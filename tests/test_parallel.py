@@ -465,3 +465,52 @@ def test_sharded_graph_reload_then_extend(tmp_path, rng):
     assert s2._ann.size == 500
     ids, _, _ = s2.query(x[450], k=3)
     assert 450 in list(ids)
+
+
+class TestShardedInt4:
+    """int4 capacity mode through the sharded scan (uint8-packed rows +
+    per-row scales, both row-sharded; 2x int8's rows per chip across the
+    mesh — a v5e-8 slice holds 256M x 768D)."""
+
+    def test_sharded_matches_single(self, tmp_path, rng):
+        x = rng.standard_normal((500, 256)).astype(np.float32)
+        cfg = dict(dimension=256, metric="cosine", storage_dtype="int4",
+                   persist_mode="off")
+        sh = ShardedVectorStore(tmp_path / "i4s", VectorStoreConfig(**cfg),
+                                mesh=make_device_mesh(8))
+        sh.add_vectors(x)
+        single = TPUVectorStore(tmp_path / "i4one", VectorStoreConfig(**cfg))
+        single.add_vectors(x)
+        for i in (3, 99, 250):
+            ids_s, sc_s, _ = sh.query(x[i], k=5)
+            ids_1, sc_1, _ = single.query(x[i], k=5)
+            assert ids_s[0] == i
+            # identical quantized rows -> identical keys either path
+            np.testing.assert_allclose(sc_s, sc_1, atol=2e-2)
+
+    def test_sharded_int4_inplace_append(self, tmp_path, rng):
+        store = ShardedVectorStore(
+            tmp_path / "i4a",
+            VectorStoreConfig(dimension=256, metric="cosine",
+                              storage_dtype="int4", persist_mode="off",
+                              block_rows=64, initial_capacity=4096),
+            mesh=make_device_mesh(8))
+        a = rng.standard_normal((300, 256)).astype(np.float32)
+        b = rng.standard_normal((200, 256)).astype(np.float32)
+        store.add_vectors(a)
+        store.add_vectors(b)  # fits capacity -> exercises _append_in_place
+        assert store.vector_count == 500
+        ids, sc, _ = store.query(b[17], k=1)
+        assert ids[0] == 300 + 17 and sc[0] > 0.97
+
+    def test_sharded_int4_filtered(self, tmp_path, rng):
+        store = ShardedVectorStore(
+            tmp_path / "i4f",
+            VectorStoreConfig(dimension=256, metric="cosine",
+                              storage_dtype="int4", persist_mode="off"),
+            mesh=make_device_mesh(8))
+        x = rng.standard_normal((300, 256)).astype(np.float32)
+        store.add_vectors(x, [{"par": i % 3} for i in range(300)])
+        ids, _, metas = store.query(x[12], k=4, filter_metadata={"par": 0})
+        assert ids[0] == 12
+        assert all(m["par"] == 0 for m in metas)

@@ -44,18 +44,27 @@ def flat_scan_topk(
     db_sqnorms: jnp.ndarray | None = None,   # (N_pad,) cached ||x||^2 for L2
     filter_mask: jnp.ndarray | None = None,  # (N_pad,) bool metadata filter
     block_rows: int = DEFAULT_BLOCK_ROWS,
+    db_scales: jnp.ndarray | None = None,    # (N_pad,) int4 dequant scales
 ):
     """Exact top-k over the whole store. Returns (keys (Q,k), indices (Q,k)).
 
     Keys follow the internal maximize convention (see ops/distance.py);
     indices are global row ids. Padding and filtered-out rows can appear only
     when fewer than k rows are live — callers clamp with ``count``.
+
+    int4 capacity mode: db as (N_pad, d_pad//2) uint8 (ops/quant4.pack_int4)
+    with db_scales — each block unpacks to bf16 on the fly (O(Q*B) extra
+    work, the packed rows stay the only HBM-resident copy), mirroring the
+    Pallas quant4 kernel's math exactly.
     """
-    n_pad, _ = db.shape
+    quant4 = db.dtype == jnp.uint8
+    if quant4 and db_scales is None:
+        raise ValueError("uint8-packed int4 db needs db_scales")
+    n_pad = db.shape[0]
     q = queries.shape[0]
     k = min(k, n_pad)
 
-    if metric == "cosine" and not db_normalized:
+    if metric == "cosine" and not db_normalized and not quant4:
         db = distance.l2_normalize(db)
         db_normalized = True
     qn = distance.l2_normalize(queries) if metric == "cosine" else queries
@@ -63,10 +72,26 @@ def flat_scan_topk(
     # accumulation): mixed f32xbf16 inputs silently upcast to f32 matmuls.
     # int8 storage keeps f32 queries (casting unit-norm queries to int8
     # would floor them to zero); XLA upcasts the int8 operand instead.
-    if db.dtype != jnp.int8:
+    if db.dtype != jnp.int8 and not quant4:
         qn = qn.astype(db.dtype)
+    if quant4:
+        # offset-8 folded out of the matmul: q.(n-8)s = s(q.n) - 8s sum(q)
+        q_bf = qn.astype(jnp.bfloat16)
+        qsum8 = 8.0 * jnp.sum(qn.astype(jnp.float32), axis=1)      # (Q,)
+        q_sq = jnp.sum(qn.astype(jnp.float32) ** 2, axis=1)        # (Q,)
 
-    def block_scores(db_block, sq_block):
+    def block_scores(db_block, sq_block, scl_block=None):
+        if quant4:
+            u = db_block.astype(jnp.int32)
+            nib = jnp.concatenate([u & 15, u >> 4],
+                                  axis=1).astype(jnp.bfloat16)
+            cross = jnp.matmul(q_bf, nib.T,
+                               preferred_element_type=jnp.float32)
+            cross = (cross - qsum8[:, None]) * scl_block[None, :]
+            if metric == "euclidean":
+                # -(||q - x||^2) with streamed dequantized-row sqnorms
+                return 2.0 * cross - sq_block[None, :] - q_sq[:, None]
+            return cross
         if metric == "cosine":
             return jnp.matmul(qn, db_block.T, preferred_element_type=jnp.float32)
         if metric in ("dot", "dot_product"):
@@ -74,7 +99,7 @@ def flat_scan_topk(
         return -distance.squared_l2_distances(qn, db_block, sq_block)
 
     if n_pad <= max(SMALL_N_THRESHOLD, block_rows):
-        scores = block_scores(db, db_sqnorms)
+        scores = block_scores(db, db_sqnorms, db_scales)
         valid = jax.lax.broadcasted_iota(jnp.int32, (1, n_pad), 1) < count
         if filter_mask is not None:
             valid = jnp.logical_and(valid, filter_mask[None, :])
@@ -94,7 +119,9 @@ def flat_scan_topk(
         db_block = jax.lax.dynamic_slice_in_dim(db, start, block_rows, axis=0)
         sq_block = (jax.lax.dynamic_slice_in_dim(db_sqnorms, start, block_rows)
                     if db_sqnorms is not None else None)
-        scores = block_scores(db_block, sq_block)            # (Q, B)
+        scl_block = (jax.lax.dynamic_slice_in_dim(db_scales, start, block_rows)
+                     if quant4 else None)
+        scores = block_scores(db_block, sq_block, scl_block)  # (Q, B)
         ids = start + local_ids                               # (1, B)
         valid = ids < count
         if filter_mask is not None:

@@ -55,20 +55,26 @@ def make_sharded_query_fn(mesh: Mesh, k: int, metric: str = "cosine",
                           db_normalized: bool = True,
                           with_sqnorms: bool = False,
                           with_filter: bool = False,
+                          with_scales: bool = False,
                           block_rows: int = 8192,
                           axis_name: str = SHARD_AXIS):
-    """Build a jitted (queries, db, count[, sqnorms][, mask]) -> (keys, idx).
+    """Build a jitted (queries, db, count[, sqnorms][, mask][, scales])
+    -> (keys, idx).
 
     - queries: (Q, d_pad) replicated
     - db: (N_pad_total, d_pad) row-sharded; N_pad_total % n_devices == 0 and
-      each shard a multiple of block_rows (the store guarantees this)
+      each shard a multiple of block_rows (the store guarantees this).
+      int4 capacity mode: (N_pad_total, d_pad//2) uint8-packed rows
+      (with_scales=True) — 2x int8's rows per chip sweep the mesh with the
+      same k·P merge.
     - count: global live-row count, replicated scalar (int32 array)
-    - sqnorms (euclidean) / filter mask: row-sharded like db when present
+    - sqnorms (euclidean) / filter mask / int4 scales: row-sharded like db
+      when present
     Returns replicated (Q, k) keys + global indices (identical on all chips).
     """
     n_dev = mesh.devices.size
 
-    def core(queries, db, count, sqnorms, mask):
+    def core(queries, db, count, sqnorms, mask, scales):
         rows_local = db.shape[0]  # per-shard rows under shard_map
         shard_id = jax.lax.axis_index(axis_name)
         offset = shard_id * rows_local
@@ -76,7 +82,7 @@ def make_sharded_query_fn(mesh: Mesh, k: int, metric: str = "cosine",
         keys, idx = flat_scan_topk(
             queries, db, local_count, k, metric=metric,
             db_normalized=db_normalized, db_sqnorms=sqnorms,
-            filter_mask=mask, block_rows=block_rows)
+            filter_mask=mask, block_rows=block_rows, db_scales=scales)
         gidx = idx + offset
         # ICI: k·P candidates per query, the only cross-chip traffic
         all_keys = jax.lax.all_gather(keys, axis_name, axis=1, tiled=True)
@@ -85,18 +91,16 @@ def make_sharded_query_fn(mesh: Mesh, k: int, metric: str = "cosine",
         return vals, jnp.take_along_axis(all_idx, sel, axis=-1)
 
     row = P(axis_name)
-    if with_sqnorms and with_filter:
-        fn = core
-        in_specs = (P(), P(axis_name, None), P(), row, row)
-    elif with_sqnorms:
-        fn = lambda q, db, c, sq: core(q, db, c, sq, None)      # noqa: E731
-        in_specs = (P(), P(axis_name, None), P(), row)
-    elif with_filter:
-        fn = lambda q, db, c, m: core(q, db, c, None, m)        # noqa: E731
-        in_specs = (P(), P(axis_name, None), P(), row)
-    else:
-        fn = lambda q, db, c: core(q, db, c, None, None)        # noqa: E731
-        in_specs = (P(), P(axis_name, None), P())
+
+    def fn(queries, db, count, *rest):
+        it = iter(rest)
+        sq = next(it) if with_sqnorms else None
+        m = next(it) if with_filter else None
+        scl = next(it) if with_scales else None
+        return core(queries, db, count, sq, m, scl)
+
+    n_row_args = int(with_sqnorms) + int(with_filter) + int(with_scales)
+    in_specs = (P(), P(axis_name, None), P()) + (row,) * n_row_args
 
     sharded = jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
                             out_specs=(P(), P()), check_vma=False)

@@ -88,12 +88,27 @@ class ShardedVectorStore(TPUVectorStore):
         # compiled programs for other capacities can never be used again
         self._query_fns.drop_stale_capacity(capacity)
         self._ann_fns.drop_stale_capacity(capacity)
+        row_shard = jax.sharding.NamedSharding(
+            self.mesh, jax.sharding.PartitionSpec(SHARD_AXIS))
+        if self._quant4:
+            host = np.zeros((capacity, self._d_pad // 2), np.uint8)
+            scl = np.zeros((capacity,), np.float32)
+            if self._count:
+                packed, scales = self._prepare_block(
+                    self._host_buf[: self._count])
+                host[: self._count] = np.asarray(packed)
+                scl[: self._count] = np.asarray(scales)
+            self._db = jax.device_put(jnp.asarray(host), self._row_sharding)
+            self._scales = jax.device_put(jnp.asarray(scl), row_shard)
+            self._sqnorms = None
+            return
         host = np.zeros((capacity, self._d_pad), np.float32)
         if self._count:
             prepared = self._prepare_block(self._host_buf[: self._count])
             host[: self._count] = np.asarray(prepared, np.float32)
         dtype = self._dtype
         self._db = jax.device_put(jnp.asarray(host, dtype), self._row_sharding)
+        self._scales = None
         if self.metric == "euclidean":
             sq = np.zeros((capacity,), np.float32)
             if self._count:
@@ -148,6 +163,19 @@ class ShardedVectorStore(TPUVectorStore):
         rows = 1
         while rows < n:
             rows *= 2
+        if self._quant4:
+            packed, scales = self._prepare_block(arr)
+            block = np.zeros((rows, self._d_pad // 2), np.uint8)
+            block[:n] = np.asarray(packed)
+            blk = jax.device_put(jnp.asarray(block), self._replicated)
+            self._db = self._get_write_fn(rows, 2)(
+                self._db, blk, jnp.int32(offset))
+            scl = np.zeros((rows,), np.float32)
+            scl[:n] = np.asarray(scales)
+            scl_blk = jax.device_put(jnp.asarray(scl), self._replicated)
+            self._scales = self._get_write_fn(rows, 1)(
+                self._scales, scl_blk, jnp.int32(offset))
+            return
         block = np.zeros((rows, self._d_pad), np.float32)
         block[:n] = np.asarray(self._prepare_block(arr), np.float32)
         dtype = self._dtype
@@ -343,13 +371,16 @@ class ShardedVectorStore(TPUVectorStore):
                 db_normalized=(self.metric == "cosine"),
                 with_sqnorms=(self._sqnorms is not None),
                 with_filter=with_filter,
+                with_scales=self._quant4,
                 block_rows=self._block)
             self._query_fns.put(key, fn)
         return fn
 
     def _flat_topk(self, queries: np.ndarray, k: int, filter_mask):
         q = jax.device_put(
-            D.pad_dim(jnp.asarray(queries, jnp.float32)), self._replicated)
+            D.pad_dim(jnp.asarray(queries, jnp.float32),
+                      multiple=256 if self._quant4 else 128),
+            self._replicated)
         count = jax.device_put(jnp.int32(self._count), self._replicated)
         fn = self._get_query_fn(k, filter_mask is not None)
         args = [q, self._db, count]
@@ -357,6 +388,8 @@ class ShardedVectorStore(TPUVectorStore):
             args.append(self._sqnorms)
         if filter_mask is not None:
             args.append(filter_mask)
+        if self._quant4:
+            args.append(self._scales)
         keys, idx = fn(*args)
         keys = np.asarray(keys)
         if self._dtype == jnp.int8:

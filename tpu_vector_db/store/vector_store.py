@@ -79,13 +79,11 @@ def _query_packed(queries, db, count, k, metric, db_normalized,
             queries, db, count, k, metric=metric, db_sqnorms=db_sqnorms,
             filter_mask=filter_mask, db_scales=db_scales)
     else:
-        if db.dtype == jnp.uint8:  # int4: dequantize for the XLA scan
-            from tpu_vector_db.ops.quant4 import unpack_int4
-            db = unpack_int4(db, db_scales).astype(jnp.bfloat16)
         keys, idx = flat_scan_topk(
             queries, db, count, k, metric=metric,
             db_normalized=db_normalized, db_sqnorms=db_sqnorms,
-            filter_mask=filter_mask, block_rows=block_rows)
+            filter_mask=filter_mask, block_rows=block_rows,
+            db_scales=db_scales)
     # int32 payload: the axon TPU backend miscompiles int32->f32 bitcast
     # (returns zeros) but f32->int32 is exact.
     keys_i = jax.lax.bitcast_convert_type(keys, jnp.int32)
