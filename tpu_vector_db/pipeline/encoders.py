@@ -385,13 +385,17 @@ class BertEncoder(BaseEncoder):
         self._tokenizer = None
 
     def _make_tokenizer(self, ckpt, model_type: str):
+        # FastWordPieceTokenizer: C++ ASCII fast path (~57x the Python
+        # rate — tokenization was the host-side e2e bottleneck), Python
+        # fallback for non-ASCII input / no-compiler images
+        from tpu_vector_db.pipeline.fast_wordpiece import \
+            FastWordPieceTokenizer
         from tpu_vector_db.pipeline.unigram import UnigramTokenizer
-        from tpu_vector_db.pipeline.wordpiece import WordPieceTokenizer
 
         if model_type == "mpnet":
-            return WordPieceTokenizer(ckpt / "vocab.txt",
-                                      pad_token="<pad>", cls_token="<s>",
-                                      sep_token="</s>", unk_token="[UNK]")
+            return FastWordPieceTokenizer(
+                ckpt / "vocab.txt", pad_token="<pad>", cls_token="<s>",
+                sep_token="</s>", unk_token="[UNK]")
         tj = ckpt / "tokenizer.json"
         if model_type in ("roberta", "xlm-roberta"):
             if not tj.exists():
@@ -402,7 +406,7 @@ class BertEncoder(BaseEncoder):
         # BERT family: prefer vocab.txt; fall back to a Unigram
         # tokenizer.json if that is all the checkpoint ships
         if (ckpt / "vocab.txt").exists():
-            return WordPieceTokenizer(ckpt / "vocab.txt")
+            return FastWordPieceTokenizer(ckpt / "vocab.txt")
         return UnigramTokenizer(tj)
 
     def load(self) -> None:
