@@ -82,6 +82,16 @@ class TestNativeParity:
         np.testing.assert_array_equal(fi, si)
         np.testing.assert_array_equal(fm, sm)
 
+    def test_nul_batch_falls_back(self, pair):
+        # '\0' passes isascii() but corrupts the NUL-delimited blob
+        # protocol — must route to Python, not silently shift rows
+        fast, slow = pair
+        texts = ["the\0quick fox", "hello world"]
+        fi, fm = fast.encode_batch(texts, seq_len=12)
+        si, sm = slow.encode_batch(texts, seq_len=12)
+        np.testing.assert_array_equal(fi, si)
+        np.testing.assert_array_equal(fm, sm)
+
     def test_non_ascii_falls_back(self, pair):
         fast, slow = pair
         for t in ["天気 cjk handling", "café résumé", "日本語 mixed ascii"]:

@@ -323,6 +323,28 @@ class TestShardedIVF:
             assert set(gids[i]) == set(exact[i]), (
                 f"query {i}: {sorted(gids[i])} != {sorted(exact[i])}")
 
+    def test_auto_kind_agrees_with_built_index(self, tmp_path, rng):
+        """index_type='auto' on a sharded store must resolve to 'ivf'
+        everywhere: _refresh_ann builds ShardedIVF even below the
+        single-chip flat crossover, so _ann_kind (query k-routing) and
+        get_stats()['index_type'] must say 'ivf' too."""
+        d = 24
+        x = self._mk_data(rng, 300, d)
+        store = ShardedVectorStore(
+            tmp_path / "sauto",
+            VectorStoreConfig(dimension=d, metric="cosine",
+                              enable_ann=True,
+                              ann_params={"min_rows": 0, "nprobe": 64,
+                                          "n_clusters": 4,
+                                          "bucket_rows": 64,
+                                          "self_check": False}),
+            mesh=make_device_mesh(8))
+        store.add_vectors(x)
+        from tpu_vector_db.parallel.sharded_ivf import ShardedIVF
+        assert isinstance(store._ann, ShardedIVF)
+        assert store._ann_kind == "ivf"
+        assert store.get_stats()["index_type"] == "ivf"
+
     def test_store_integration_and_incremental(self, tmp_path, rng):
         n, d = 500, 24
         x = self._mk_data(rng, n, d)

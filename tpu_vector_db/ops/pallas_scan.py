@@ -335,7 +335,7 @@ def pallas_flat_topk(queries, db, count, k: int, metric: str = "cosine",
     convention as ops/scan.flat_scan_topk. Padding rows (>= count) never
     appear unless fewer than k rows are live.
 
-    int4 capacity mode: pass db as (N, d_pad//2) uint8 (ops/quant4.pack)
+    int4 capacity mode: pass db as (N, d_pad//2) uint8 (ops/quant4.pack_int4)
     with db_scales = per-row f32 dequant scales; keys are the true scores
     of the dequantized rows. Requires d_pad % 256 == 0 (the packed minor
     dim must stay a lane-tile multiple).
@@ -351,10 +351,11 @@ def pallas_flat_topk(queries, db, count, k: int, metric: str = "cosine",
         raise ValueError("db_scales is only meaningful for uint8-packed "
                          "int4 databases")
     q_n = queries.shape[0]
-    # int4 streams half the bytes of int8 but materializes the widened
-    # bf16 block in VMEM — budget the block like bf16
+    # int8/int4 stream fewer bytes than bf16 but materialize a widened
+    # bf16 copy of the block in VMEM (_cross_block) — budget the block
+    # like bf16 (itemsize 2 covers stream + widened copy for both)
     block = block_rows or pick_block_rows(
-        d_pad, 2 if quant4 else db.dtype.itemsize)
+        d_pad, max(db.dtype.itemsize, 2))
     assert n_pad % block == 0, (n_pad, block)
     n_blocks = n_pad // block
     bigk = k > MAX_PALLAS_K

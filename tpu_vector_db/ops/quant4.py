@@ -5,7 +5,7 @@ rows on 32-64 GB unified memory, README.md:63-68; int8 already serves 16M
 x 768D on one 16 GB chip): each component quantizes to an offset-8 nibble
 with ONE f32 scale per row, packed two-components-per-byte.
 
-Layout contract (shared with ops/pallas_scan._widen_block): packed column
+Layout contract (shared with ops/pallas_scan._cross_block): packed column
 j holds component j in its LOW nibble and component j + d/2 in its HIGH
 nibble. Unpacking is then two nibble ops + a lane-dim concatenate in
 natural column order — an interleaved pairwise layout would need a

@@ -224,6 +224,16 @@ class ShardedVectorStore(TPUVectorStore):
 
     # ------------------------------------------------------------------ ANN
 
+    def _auto_pick_kind(self) -> str:
+        """index_type='auto' resolves to IVF on a sharded store regardless
+        of row count — it must agree with _refresh_ann below (which builds
+        ShardedIVF for 'auto'), or query-time k-routing (the ivf_large_k
+        divert in vector_store.batch_query) and get_stats()['index_type']
+        would describe an index other than the one serving."""
+        if self._quant4:
+            return "flat"  # unreachable while config forbids int4+ANN
+        return "ivf"
+
     def _refresh_ann(self, incremental_from=None) -> None:
         """Per-shard subgraphs (parallel/sharded_ann.py) or per-shard IVF
         quantizers (parallel/sharded_ivf.py), per ann_params.index_type.
@@ -357,8 +367,8 @@ class ShardedVectorStore(TPUVectorStore):
             out.append((indices, scores, metas))
         return out
 
-    def _filter_mask(self, filter_metadata: dict):
-        mask = super()._filter_mask(filter_metadata)
+    def _filter_mask(self, filter_metadata: dict, host_mask=None):
+        mask = super()._filter_mask(filter_metadata, host_mask)
         return jax.device_put(mask, jax.sharding.NamedSharding(
             self.mesh, jax.sharding.PartitionSpec(SHARD_AXIS)))
 

@@ -150,7 +150,10 @@ class FastWordPieceTokenizer(WordPieceTokenizer):
         return [self.cls_id] + ids + [self.sep_id]
 
     def encode_batch(self, texts: list[str], seq_len: int):
-        if self._h is None or not all(t.isascii() for t in texts):
+        # NUL would corrupt the NUL-delimited blob protocol (silently
+        # shifting every subsequent row) — route such batches to Python
+        if self._h is None or not all(
+                t.isascii() and "\0" not in t for t in texts):
             return super().encode_batch(texts, seq_len)
         blob = b"\0".join(t.encode("ascii") for t in texts) + b"\0"
         n = len(texts)

@@ -389,8 +389,11 @@ class TPUVectorStore:
 
     # ---------------------------------------------------------------- query
 
-    def _filter_mask(self, filter_metadata: dict) -> jnp.ndarray:
-        return jnp.asarray(self._meta_index.mask(filter_metadata, self._cap))
+    def _filter_mask(self, filter_metadata: dict,
+                     host_mask: np.ndarray | None = None) -> jnp.ndarray:
+        if host_mask is None:
+            host_mask = self._meta_index.mask(filter_metadata, self._cap)
+        return jnp.asarray(host_mask)
 
     def _scan_block(self) -> int:
         """Scan tile for queries: as large as divides capacity, up to 128K
@@ -411,8 +414,10 @@ class TPUVectorStore:
             MAX_PALLAS_K_BIG, pick_block_rows)
         if k > MAX_PALLAS_K_BIG:
             return False
+        # int8/int4 widen the block to bf16 in VMEM — budget as itemsize 2
+        # (must mirror pallas_flat_topk's block pick)
         block = pick_block_rows(
-            self._d_pad, 2 if self._quant4 else self._db.dtype.itemsize)
+            self._d_pad, max(self._db.dtype.itemsize, 2))
         return self._cap % block == 0
 
     def _flat_topk(self, queries: np.ndarray, k: int,
@@ -558,8 +563,9 @@ class TPUVectorStore:
 
             t0 = time.perf_counter()
             # polymorphic: ShardedVectorStore's override device_puts the
-            # mask with the shard sharding (host_mask above is host-only)
-            mask = (self._filter_mask(filter_metadata)
+            # mask with the shard sharding; host_mask from the selectivity
+            # check above is reused so the O(cap) metadata pass runs once
+            mask = (self._filter_mask(filter_metadata, host_mask)
                     if filter_metadata else None)
             keys, idx = self._flat_topk(arr, k_eff, mask)
             performance_monitor.record("flat_scan_topk",
