@@ -332,9 +332,14 @@ class TestInt8Storage:
         with pytest.raises(ValueError):
             VectorStoreConfig(dimension=8, metric="euclidean",
                               storage_dtype="int8")
+        # gather-layout IVF is supported on quantized rows (r3); the beam
+        # graph is not
+        VectorStoreConfig(dimension=8, metric="cosine",
+                          storage_dtype="int8", enable_ann=True)
         with pytest.raises(ValueError):
             VectorStoreConfig(dimension=8, metric="cosine",
-                              storage_dtype="int8", enable_ann=True)
+                              storage_dtype="int8", enable_ann=True,
+                              ann_params={"index_type": "beam_graph"})
 
     def test_persistence_roundtrip(self, tmp_path, rng):
         x = rng.standard_normal((300, 32)).astype(np.float32)
@@ -403,13 +408,15 @@ class TestInt4Storage:
         with pytest.raises(ValueError):
             VectorStoreConfig(dimension=8, metric="euclidean",
                               storage_dtype="int4")
+        # gather-layout IVF is supported on quantized rows (r3); the beam
+        # graph is not
+        VectorStoreConfig(dimension=8, metric="cosine",
+                          storage_dtype="int4", enable_ann=True,
+                          ann_params={"index_type": "ivf"})
         with pytest.raises(ValueError):
             VectorStoreConfig(dimension=8, metric="cosine",
-                              storage_dtype="int4", enable_ann=True)
-        with pytest.raises(ValueError):
-            VectorStoreConfig(dimension=8, metric="cosine",
-                              storage_dtype="int4",
-                              ann_params={"index_type": "ivf"})
+                              storage_dtype="int4", enable_ann=True,
+                              ann_params={"index_type": "beam_graph"})
 
     def test_persistence_roundtrip(self, tmp_path, rng):
         x = rng.standard_normal((300, 256)).astype(np.float32)

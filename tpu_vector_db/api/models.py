@@ -99,9 +99,9 @@ class CreateStoreRequest(BaseModel):
     dimension: int = Field(default=384, ge=1, le=8192)
     metric: MetricType = MetricType.cosine
     index_type: IndexType = IndexType.flat
-    # int8/int4 capacity modes are cosine-only + exact-only; the store
-    # config cross-validates (store/config.py) and the route surfaces
-    # its ValueError as a 400
+    # int8/int4 capacity modes are cosine-only; engines: exact scan +
+    # gather-layout IVF (no beam graph). The store config cross-validates
+    # (store/config.py) and the route surfaces its ValueError as a 400
     storage_dtype: str = Field(default="float32",
                                pattern="^(float32|bfloat16|int8|int4)$")
     ann_params: dict | None = None

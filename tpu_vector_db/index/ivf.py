@@ -35,6 +35,7 @@ import numpy as np
 
 from tpu_vector_db.ops import kmeans
 from tpu_vector_db.ops.ivf_scan import (MAX_IVF_PALLAS_K,
+                                        ivf_probe_topk_gather,
                                         ivf_probe_topk_pallas,
                                         ivf_probe_topk_xla)
 from tpu_vector_db.ops.pallas_scan import _next_pow2  # noqa: F401 (shared)
@@ -80,7 +81,15 @@ def _scatter_scalars(arr2d, flat_pos, vals):
 class IVFIndex:
     """Owns centroids + the bucketized copy of the rows. Unlike the beam
     graph this index DOES duplicate vector data (cluster-major layout is
-    the point); ~1x store size extra in the storage dtype."""
+    the point); ~1x store size extra in the storage dtype.
+
+    Exception — GATHER layout (int8 / uint8-packed-int4 stores): the
+    quantized capacity modes exist precisely because the rows barely fit
+    one chip, so duplicating them into buckets cannot. For those dtypes
+    the device side holds only the (NB, Bc) id table + centroids
+    (~4 bytes/row) and probes gather their rows from the store's flat
+    matrix (ops/ivf_scan.ivf_probe_topk_gather) — same recall contract,
+    zero extra vector memory."""
 
     def __init__(self, dim: int, metric: str = "cosine",
                  n_clusters: int | None = None, nprobe: int = 32,
@@ -134,16 +143,17 @@ class IVFIndex:
 
     # ----------------------------------------------------------------- build
 
-    def build(self, db, count: int, sqnorms=None) -> dict:
+    def build(self, db, count: int, sqnorms=None, scales=None) -> dict:
         t0 = time.perf_counter()
         c = self.n_clusters or self.auto_clusters(count)
         c = min(c, max(count, 1))
         bc = self.bucket_rows or self._auto_bucket_rows(count, c)
         centroids, _ = kmeans.train_kmeans(
             db, count, c, metric=self.metric, iters=self.train_iters,
-            seed=self._seed)
+            seed=self._seed, db_scales=scales)
         assign = np.asarray(kmeans.assign_clusters(
-            db, np.int32(count), centroids, metric=self.metric))[:count]
+            db, np.int32(count), centroids, metric=self.metric,
+            db_scales=scales))[:count]
         self._centroids = np.asarray(centroids, np.float32)
         self._bucketize(assign, count, bc)
         self._n = count
@@ -180,19 +190,23 @@ class IVFIndex:
 
     # ------------------------------------------------------------------- add
 
-    def add(self, db, old_count: int, new_count: int, sqnorms=None) -> dict:
+    def add(self, db, old_count: int, new_count: int, sqnorms=None,
+            scales=None) -> dict:
         """Assign rows [old_count, new_count) to nearest centroids and fill
         bucket free slots in place — no retrain, no rebuild."""
         t0 = time.perf_counter()
         if not self.built:
-            return self.build(db, new_count, sqnorms)
+            return self.build(db, new_count, sqnorms, scales=scales)
         if old_count != self._n:
             raise ValueError(f"add must continue from {self._n}, "
                              f"got {old_count}")
         n_new = new_count - old_count
-        new_rows = db[old_count:new_count]
+        new_rows = kmeans._widen_block(
+            db[old_count:new_count],
+            scales[old_count:new_count] if scales is not None else None
+        ).astype(jnp.float32)
         cents = jnp.asarray(self._centroids)
-        cscore = jnp.matmul(new_rows.astype(jnp.float32), cents.T,
+        cscore = jnp.matmul(new_rows, cents.T,
                             preferred_element_type=jnp.float32)
         if self.metric == "euclidean":
             cscore = 2.0 * cscore - jnp.sum(cents * cents, -1)[None, :]
@@ -205,13 +219,14 @@ class IVFIndex:
             flat_pos = jnp.asarray(
                 [b * bc + s for b, s, _ in placed], jnp.int32)
             row_ids = jnp.asarray([r for _, _, r in placed], jnp.int32)
-            self._dev["buckets"] = _scatter_rows(
-                self._dev["buckets"], flat_pos, db[row_ids])
+            if "buckets" in self._dev:   # bucketized layout only
+                self._dev["buckets"] = _scatter_rows(
+                    self._dev["buckets"], flat_pos, db[row_ids])
+                if self._dev["sqnorms"] is not None and sqnorms is not None:
+                    self._dev["sqnorms"] = _scatter_scalars(
+                        self._dev["sqnorms"], flat_pos, sqnorms[row_ids])
             self._dev["ids"] = _scatter_scalars(
                 self._dev["ids"], flat_pos, row_ids)
-            if self._dev["sqnorms"] is not None and sqnorms is not None:
-                self._dev["sqnorms"] = _scatter_scalars(
-                    self._dev["sqnorms"], flat_pos, sqnorms[row_ids])
             self._dev["fills"] = jnp.asarray(
                 self._ids.shape[1] - self._free, jnp.int32)
             self._dev_rows = new_count
@@ -320,31 +335,41 @@ class IVFIndex:
 
     # ---------------------------------------------------------------- search
 
+    @staticmethod
+    def _gather_layout(db) -> bool:
+        """Quantized capacity dtypes serve probes by gathering from the
+        store's flat matrix — no bucketized row copy (class docstring)."""
+        return db.dtype in (jnp.int8, jnp.uint8)
+
     def _ensure_device(self, db, sqnorms) -> None:
         if self._dev is not None and self._dev_rows == self._n:
             return
         ids = jnp.asarray(self._ids)
-        flat = jnp.maximum(ids.reshape(-1), 0)
-        buckets = db[flat].reshape(self._ids.shape + (db.shape[1],))
-        sq = (sqnorms[flat].reshape(self._ids.shape)
-              if sqnorms is not None else None)
         self._dev = {
             "centroids": jnp.asarray(self._centroids),
             "c_sqnorms": jnp.asarray(
                 (self._centroids ** 2).sum(-1), jnp.float32),
-            "buckets": buckets,
             "ids": ids,
             "fills": jnp.asarray(
                 self._ids.shape[1] - self._free, jnp.int32),
-            "sqnorms": sq,
             "bucket_cluster": jnp.asarray(self._bucket_cluster),
         }
+        if not self._gather_layout(db):
+            flat = jnp.maximum(ids.reshape(-1), 0)
+            self._dev["buckets"] = db[flat].reshape(
+                self._ids.shape + (db.shape[1],))
+            self._dev["sqnorms"] = (
+                sqnorms[flat].reshape(self._ids.shape)
+                if sqnorms is not None else None)
         self._dev_rows = self._n
 
     def search(self, queries, db, count: int, k: int,
-               nprobe: int | None = None, sqnorms=None):
+               nprobe: int | None = None, sqnorms=None, scales=None):
         """(Q, k) global ids + keys (store's maximize convention); -1 ids
-        mark empty slots. queries must be PREPARED like db rows."""
+        mark empty slots. queries must be PREPARED like db rows (int8/int4
+        stores pass f32 unit-norm queries + the int4 per-row scales; int8
+        keys come back in the raw x127 quantizer scale, same as the flat
+        engine)."""
         if not self.built:
             raise RuntimeError("index not built")
         self._ensure_device(db, sqnorms)
@@ -354,16 +379,21 @@ class IVFIndex:
         q = jnp.asarray(queries, jnp.float32)
         sel = _select_buckets(q, dev["centroids"], dev["bucket_cluster"],
                               p, self.metric, dev["c_sqnorms"])
-        use_pallas = (k <= MAX_IVF_PALLAS_K
-                      and jax.default_backend() == "tpu"
-                      and self.metric != "euclidean")
-        if use_pallas:
-            keys, ids = ivf_probe_topk_pallas(
-                q, dev["buckets"], dev["ids"], dev["fills"], sel, k)
+        if self._gather_layout(db):
+            keys, ids = ivf_probe_topk_gather(
+                q, db, dev["ids"], sel, k, metric=self.metric,
+                db_scales=scales)
         else:
-            keys, ids = ivf_probe_topk_xla(
-                q, dev["buckets"], dev["ids"], sel, k,
-                metric=self.metric, bucket_sqnorms=dev["sqnorms"])
+            use_pallas = (k <= MAX_IVF_PALLAS_K
+                          and jax.default_backend() == "tpu"
+                          and self.metric != "euclidean")
+            if use_pallas:
+                keys, ids = ivf_probe_topk_pallas(
+                    q, dev["buckets"], dev["ids"], dev["fills"], sel, k)
+            else:
+                keys, ids = ivf_probe_topk_xla(
+                    q, dev["buckets"], dev["ids"], sel, k,
+                    metric=self.metric, bucket_sqnorms=dev["sqnorms"])
         keys = np.asarray(keys)
         ids = np.asarray(ids)
         ids = np.where(keys == NEG_INF, -1, ids)
@@ -413,8 +443,13 @@ class IVFIndex:
     def get_stats(self) -> dict:
         nb, bc = (self._ids.shape if self._ids is not None else (0, 0))
         live = int((self._ids >= 0).sum()) if self._ids is not None else 0
+        gather = self._dev is not None and "buckets" not in self._dev
+        # gather layout holds only the id table on device; bucketized
+        # duplicates the rows in the storage dtype
+        per_slot = 4 if gather else (self.dim * 2 + 4)
         return {
             "type": "ivf",
+            "layout": "gather" if gather else "bucketized",
             "nodes": self._n,
             "clusters": (len(self._centroids)
                          if self._centroids is not None else 0),
@@ -423,5 +458,5 @@ class IVFIndex:
             "bucket_rows": bc,
             "fill_ratio": round(live / max(nb * bc, 1), 3),
             "build_time_s": round(self.build_time_s, 3),
-            "memory_mb": round(nb * bc * (self.dim * 2 + 4) / 2**20, 2),
+            "memory_mb": round(nb * bc * per_slot / 2**20, 2),
         }

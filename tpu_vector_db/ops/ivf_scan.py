@@ -149,6 +149,79 @@ def _finish_euclidean(vals, idx, queries, metric):
 
 
 @functools.partial(jax.jit, static_argnames=("k", "metric"))
+def ivf_probe_topk_gather(queries, db_flat, bucket_ids, sel, k: int,
+                          metric: str = "cosine", db_scales=None):
+    """Probe scan that GATHERS the probed rows from the store's FLAT
+    matrix instead of a bucketized copy — zero extra vector memory.
+
+    This is the serving path for the int8/int4 capacity modes (16M/32M x
+    768D on one 16 GB chip), where duplicating rows into (NB, Bc, d)
+    buckets cannot fit: the index holds only the (NB, Bc) id table (+
+    centroids), and each probe step gathers `bucket_ids[sel[:, p]]` rows
+    from db_flat. Rows are 768B-contiguous, so the gather runs near DMA
+    bandwidth while touching ~nprobe*Bc/N of the store (~0.8% at 16M,
+    C=16K, nprobe=64) — vs the full-sweep exact kernel's 25-37 ms.
+
+    db_flat: (N_pad, d) bf16/int8 rows, or (N_pad, d/2) uint8-packed int4
+    with db_scales (per-row dequant scales). int8 keys come back in the
+    raw x127 quantizer scale — the caller divides, exactly like the flat
+    engine (store/vector_store.py _flat_topk). Cosine/dot only (the
+    quantized capacity modes are cosine-only by config).
+
+    Reference contrast: hnswlib's random-access knn_query
+    (performance/hnsw_index.py:79-103) is the latency analog; here the
+    random access is amortized to whole-bucket row gathers.
+    """
+    if metric == "euclidean":
+        raise ValueError("gather-layout probes are cosine/dot only "
+                         "(quantized capacity modes are cosine by config)")
+    q_n = queries.shape[0]
+    nb, bc = bucket_ids.shape
+    n_probe = sel.shape[1]
+    k_eff = min(k, n_probe * bc)
+    quant4 = db_flat.dtype == jnp.uint8
+    if quant4 and db_scales is None:
+        raise ValueError("uint8-packed int4 db needs db_scales")
+    q = queries.astype(jnp.bfloat16 if db_flat.dtype.itemsize == 1
+                       else db_flat.dtype)
+
+    def body(carry, p):
+        best_vals, best_idx = carry
+        b = sel[:, p]                                  # (Q,)
+        gids = bucket_ids[b]                           # (Q, Bc)
+        safe = jnp.maximum(gids, 0)
+        rows = db_flat[safe]                           # (Q, Bc, cols)
+        if quant4:
+            u = rows.astype(jnp.int32)
+            lo = ((u & 15) - 8).astype(jnp.bfloat16)
+            hi = ((u >> 4) - 8).astype(jnp.bfloat16)
+            cross = (jnp.einsum("qd,qbd->qb", q[:, : lo.shape[-1]], lo,
+                                preferred_element_type=jnp.float32)
+                     + jnp.einsum("qd,qbd->qb", q[:, lo.shape[-1]:], hi,
+                                  preferred_element_type=jnp.float32))
+            scores = cross * db_scales[safe]
+        else:
+            scores = jnp.einsum(
+                "qd,qbd->qb", q, rows.astype(q.dtype),
+                preferred_element_type=jnp.float32)
+        scores = jnp.where(gids >= 0, scores, NEG_INF)
+        best_vals, best_idx = merge_topk(best_vals, best_idx, scores, gids,
+                                         k_eff)
+        return (best_vals, best_idx), None
+
+    init = (jnp.full((q_n, k_eff), NEG_INF, jnp.float32),
+            jnp.zeros((q_n, k_eff), jnp.int32))
+    (vals, idx), _ = jax.lax.scan(body, init, jnp.arange(n_probe))
+    if k_eff < k:
+        vals = jnp.concatenate(
+            [vals, jnp.full((q_n, k - k_eff), NEG_INF, jnp.float32)], axis=1)
+        idx = jnp.concatenate(
+            [idx, jnp.zeros((q_n, k - k_eff), jnp.int32)], axis=1)
+    idx = jnp.where(vals > NEG_INF, idx, -1)
+    return vals, idx
+
+
+@functools.partial(jax.jit, static_argnames=("k", "metric"))
 def ivf_probe_topk_xla(queries, db_buckets, bucket_ids, sel, k: int,
                        metric: str = "cosine", bucket_sqnorms=None):
     """XLA fallback: lax.scan over probes, per-step bucket gather + matmul +

@@ -27,6 +27,36 @@ import jax.numpy as jnp
 NEG_INF = float("-inf")
 
 
+def _compute_dtype(db_dtype):
+    """MXU dtype for a storage dtype: quantized rows widen to bf16."""
+    if db_dtype in (jnp.int8, jnp.uint8):
+        return jnp.bfloat16
+    return db_dtype
+
+
+def _widen_block(block, scales_block):
+    """Quantized capacity-mode blocks -> matmul-ready rows.
+
+    int8: plain widen (values <= 127 exact in bf16; the uniform x127 row
+    scale cancels in cosine argmax and normalizes out of centroids).
+    uint8 = packed int4: dequantize with the per-row scales
+    (ops/quant4.unpack_int4). Other dtypes pass through."""
+    if block.dtype == jnp.uint8:
+        from tpu_vector_db.ops.quant4 import unpack_int4
+        return unpack_int4(block, scales_block).astype(jnp.bfloat16)
+    if block.dtype == jnp.int8:
+        return block.astype(jnp.bfloat16)
+    return block
+
+
+def _seed_rows(db, idx, db_scales):
+    """Gather seed/reseed centroid rows in f32 (dequantized for int4)."""
+    if db.dtype == jnp.uint8:
+        from tpu_vector_db.ops.quant4 import unpack_int4
+        return unpack_int4(db[idx], db_scales[idx])
+    return db[idx].astype(jnp.float32)
+
+
 def _block_layout(n_pad: int, block_rows: int) -> tuple[int, int]:
     """(num_blocks, block_rows) covering ALL n_pad rows.
 
@@ -53,17 +83,20 @@ def _scores(block, centroids, metric, c_sqnorms):
 
 @functools.partial(jax.jit, static_argnames=("metric", "block_rows"))
 def assign_clusters(db, count, centroids, metric: str = "cosine",
-                    block_rows: int = 65536):
-    """(N_pad,) int32 cluster id per row (padding rows get cluster 0)."""
+                    block_rows: int = 65536, db_scales=None):
+    """(N_pad,) int32 cluster id per row (padding rows get cluster 0).
+    db_scales: per-row dequant scales, required for uint8-packed int4."""
     n_pad = db.shape[0]
     c_sq = jnp.sum(centroids.astype(jnp.float32) ** 2, -1)
-    cents = centroids.astype(db.dtype)
+    cents = centroids.astype(_compute_dtype(db.dtype))
     num_blocks, block_rows = _block_layout(n_pad, block_rows)
 
     def body(_, idx):
         start = jnp.minimum(idx * block_rows, n_pad - block_rows)
         block = jax.lax.dynamic_slice_in_dim(db, start, block_rows, axis=0)
-        s = _scores(block, cents, metric, c_sq)
+        scl = (jax.lax.dynamic_slice_in_dim(db_scales, start, block_rows)
+               if db_scales is not None else None)
+        s = _scores(_widen_block(block, scl), cents, metric, c_sq)
         return None, jnp.argmax(s, axis=-1).astype(jnp.int32)
 
     _, assign = jax.lax.scan(body, None, jnp.arange(num_blocks))
@@ -77,19 +110,24 @@ def assign_clusters(db, count, centroids, metric: str = "cosine",
 
 
 @functools.partial(jax.jit, static_argnames=("metric", "block_rows"))
-def _lloyd_step(db, count, centroids, metric: str, block_rows: int):
+def _lloyd_step(db, count, centroids, metric: str, block_rows: int,
+                db_scales=None):
     """One Lloyd iteration: returns (new_centroids, counts, mean_key)."""
-    n_pad, d = db.shape
+    n_pad = db.shape[0]
+    d = db.shape[1] * 2 if db.dtype == jnp.uint8 else db.shape[1]
     c = centroids.shape[0]
     c_sq = jnp.sum(centroids.astype(jnp.float32) ** 2, -1)
-    cents = centroids.astype(db.dtype)
+    cents = centroids.astype(_compute_dtype(db.dtype))
     num_blocks, block_rows = _block_layout(n_pad, block_rows)
 
     def body(carry, idx):
         sums, counts, key_acc = carry
         logical = idx * block_rows
         start = jnp.minimum(logical, n_pad - block_rows)
-        block = jax.lax.dynamic_slice_in_dim(db, start, block_rows, axis=0)
+        raw = jax.lax.dynamic_slice_in_dim(db, start, block_rows, axis=0)
+        scl = (jax.lax.dynamic_slice_in_dim(db_scales, start, block_rows)
+               if db_scales is not None else None)
+        block = _widen_block(raw, scl)
         s = _scores(block, cents, metric, c_sq)             # (B, C)
         row = start + jax.lax.broadcasted_iota(
             jnp.int32, (block_rows, 1), 0)
@@ -119,31 +157,33 @@ def _lloyd_step(db, count, centroids, metric: str, block_rows: int):
 
 
 def train_kmeans(db, count, n_clusters: int, metric: str = "cosine",
-                 iters: int = 10, block_rows: int = 65536, seed: int = 0):
+                 iters: int = 10, block_rows: int = 65536, seed: int = 0,
+                 db_scales=None):
     """Train the coarse quantizer on the store's prepared device matrix.
 
-    db: (N_pad, d_pad) prepared rows (cosine: normalized), padding zeroed.
+    db: (N_pad, d_pad) prepared rows (cosine: normalized), padding zeroed;
+    int8 rows (fixed x127 scale) and uint8-packed int4 rows (+ db_scales)
+    train directly — blocks widen/dequantize on the fly.
     Returns (centroids (C, d_pad) f32, counts (C,) f32 from the last
     iteration).
     """
-    n_pad = db.shape[0]
     count = jnp.asarray(count, jnp.int32)
     # deterministic strided init over live rows: cheap, reproducible, and
     # spread across the (arbitrary) insert order
     idx = (jnp.arange(n_clusters, dtype=jnp.int32)
            * jnp.maximum(count // n_clusters, 1)) % jnp.maximum(count, 1)
-    centroids = db[idx].astype(jnp.float32)
+    centroids = _seed_rows(db, idx, db_scales)
     counts = None
     key = jax.random.PRNGKey(seed)
     for i in range(iters):
         centroids, counts, mean_key = _lloyd_step(
-            db, count, centroids, metric, block_rows)
+            db, count, centroids, metric, block_rows, db_scales=db_scales)
         # re-seed empty clusters from random live rows so the bucket layout
         # never carries dead buckets
         if i < iters - 1:
             key, sub = jax.random.split(key)
             rand_rows = jax.random.randint(
                 sub, (n_clusters,), 0, jnp.maximum(count, 1))
-            reseed = db[rand_rows].astype(jnp.float32)
+            reseed = _seed_rows(db, rand_rows, db_scales)
             centroids = jnp.where((counts > 0)[:, None], centroids, reseed)
     return centroids, counts

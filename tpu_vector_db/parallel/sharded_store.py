@@ -230,8 +230,10 @@ class ShardedVectorStore(TPUVectorStore):
         ShardedIVF for 'auto'), or query-time k-routing (the ivf_large_k
         divert in vector_store.batch_query) and get_stats()['index_type']
         would describe an index other than the one serving."""
-        if self._quant4:
-            return "flat"  # unreachable while config forbids int4+ANN
+        if self.config.storage_dtype in ("int8", "int4"):
+            # gather-layout IVF is single-chip only for now; the sharded
+            # quantized store serves the exact per-shard sweep
+            return "flat"
         return "ivf"
 
     def _refresh_ann(self, incremental_from=None) -> None:
@@ -243,6 +245,15 @@ class ShardedVectorStore(TPUVectorStore):
         native builder; degrades to the sharded flat scan otherwise."""
         from tpu_vector_db.index import native
         if self._count == 0:
+            return
+        if self.config.storage_dtype in ("int8", "int4"):
+            # gather-layout IVF (index/ivf.py) is single-chip only; the
+            # sharded quantized store serves the exact per-shard sweep
+            logger.info("sharded %s store: serving the exact per-shard "
+                        "sweep (no sharded gather-IVF yet)",
+                        self.config.storage_dtype)
+            self._ann = None
+            self._ann_stale = False
             return
         if self.config.ann_params.get("index_type", "auto") in ("auto",
                                                                 "ivf"):

@@ -54,26 +54,24 @@ class VectorStoreConfig:
                 f"persist_mode must be one of {VALID_PERSIST}, got "
                 f"{self.persist_mode!r}")
         if self.storage_dtype in ("int8", "int4"):
-            # int8/int4 are CAPACITY modes for the exact engine: rows are
-            # unit-norm (int8: fixed 127 scale; int4: per-row scale
-            # streamed into the kernel, two nibbles per byte). Cosine-only
-            # (euclidean/dot rows are unnormalized) and exact-only (index
-            # structures score through their own gathers).
+            # int8/int4 are CAPACITY modes: rows are unit-norm (int8:
+            # fixed 127 scale; int4: per-row scale streamed into the
+            # kernel, two nibbles per byte). Cosine-only (euclidean/dot
+            # rows are unnormalized). Engines: the exact fused scan and
+            # gather-layout IVF (probes gather rows from the flat matrix
+            # — no bucketized copy, which could not fit at capacity
+            # scale); the beam graph is not supported on quantized rows.
             if self.metric != "cosine":
                 raise ValueError(
                     f"storage_dtype={self.storage_dtype!r} requires "
                     "metric='cosine' (rows must be unit-norm for the "
                     "quantizer)")
-            if self.enable_ann:
-                raise ValueError(
-                    f"storage_dtype={self.storage_dtype!r} supports the "
-                    "exact engine only (disable ANN or use bfloat16)")
-        if self.storage_dtype == "int4":
             itype = self.ann_params.get("index_type", "auto")
-            if itype not in ("auto", "flat"):
+            if self.enable_ann and itype not in ("auto", "flat", "ivf"):
                 raise ValueError(
-                    "storage_dtype='int4' serves the exact scan only; "
-                    f"index_type={itype!r} is not supported")
+                    f"storage_dtype={self.storage_dtype!r} supports "
+                    "index_type auto|flat|ivf (gather-layout IVF); "
+                    f"got {itype!r}")
         if self.dimension < 1 or self.dimension > 8192:
             raise ValueError(f"dimension out of range: {self.dimension}")
         itype = self.ann_params.get("index_type", "auto")

@@ -604,9 +604,13 @@ class TPUVectorStore:
         for 0.95). The beam graph stays an explicit opt-in
         (index_type='beam_graph') for filtered+incremental workloads that
         want graph semantics. High-batch queries re-route to the exact scan
-        at query time (batch_query) regardless of the built index."""
-        if self._quant4:
-            return "flat"  # capacity mode: the exact scan serves everything
+        at query time (batch_query) regardless of the built index.
+
+        The quantized capacity modes (int8/int4) follow the same
+        crossover: their IVF runs in GATHER layout (index/ivf.py — probes
+        gather rows from the flat matrix, no bucketized copy), so batch-1
+        latency at 16-32M rows drops from the full-sweep 25-37 ms to the
+        probed fraction while adding only the ~4 B/row id table."""
         flat_rows = self.config.ann_params.get("auto_flat_rows", 100_000)
         if self._count < flat_rows:
             return "flat"
@@ -630,16 +634,31 @@ class TPUVectorStore:
             alpha=p.get("alpha", 1.2))
 
     def _ann_search(self, queries_prepared, fetch_k: int):
-        """Uniform index dispatch: graph takes ef_search, IVF takes nprobe."""
+        """Uniform index dispatch: graph takes ef_search, IVF takes nprobe.
+        Keys come back in the store's final convention (int8's raw x127
+        quantizer scale is divided out here, mirroring _flat_topk)."""
         p = self.config.ann_params
         if self._ann_kind == "ivf":
-            return self._ann.search(
+            ids, keys = self._ann.search(
                 queries_prepared, self._db, self._count, k=fetch_k,
-                nprobe=p.get("nprobe"), sqnorms=self._sqnorms)
+                nprobe=p.get("nprobe"), sqnorms=self._sqnorms,
+                scales=self._scales)
+            if self.config.storage_dtype == "int8":
+                keys = np.where(np.isfinite(keys), keys * (1.0 / 127.0),
+                                keys)
+            return ids, keys
         ef = max(p.get("ef_search", 100), fetch_k)
         return self._ann.search(
             queries_prepared, self._db, self._count, k=fetch_k,
             ef_search=ef, sqnorms=self._sqnorms)
+
+    def _ann_quant_kwargs(self) -> dict:
+        """Extra IVF build/add kwargs for quantized storage (the int4
+        per-row scales drive k-means dequantization; graphs never get
+        here — config forbids beam_graph on quantized stores)."""
+        if self._ann_kind == "ivf" and self._quant4:
+            return {"scales": self._scales}
+        return {}
 
     def _refresh_ann(self, incremental_from: int | None = None) -> None:
         """Build or incrementally extend the ANN graph (true incremental
@@ -676,14 +695,17 @@ class TPUVectorStore:
                         logger.warning("native builder unavailable; "
                                        "falling back to TPU build")
                     self._ann.build(self._db, self._count,
-                                    sqnorms=self._sqnorms)
+                                    sqnorms=self._sqnorms,
+                                    **self._ann_quant_kwargs())
             else:
-                self._ann.build(self._db, self._count, sqnorms=self._sqnorms)
+                self._ann.build(self._db, self._count, sqnorms=self._sqnorms,
+                                **self._ann_quant_kwargs())
         else:
             # incremental adds always extend on device (works on graphs from
             # either builder)
             self._ann.add(self._db, incremental_from, self._count,
-                          sqnorms=self._sqnorms)
+                          sqnorms=self._sqnorms,
+                          **self._ann_quant_kwargs())
         if self.config.persist_mode != "off":
             self._ann.save(self.store_path)
         self._ann_stale = False
@@ -759,7 +781,9 @@ class TPUVectorStore:
         q = jnp.asarray(arr, jnp.float32)
         if self.metric == "cosine":
             q = D.l2_normalize(q)
-        return D.pad_dim(q)
+        # int4 stores pad d to a 256 multiple (packed minor dim stays a
+        # lane tile) — queries must match the stored width
+        return D.pad_dim(q, multiple=256 if self._quant4 else 128)
 
     def _ann_batch_query(self, arr: np.ndarray, k: int,
                          filter_metadata: dict | None):
