@@ -114,6 +114,8 @@ class IVFIndex:
         # device mirrors (materialized lazily from the store's db)
         self._dev = None          # dict: centroids, buckets, ids, sqnorms,
         self._dev_rows = 0        # rows materialized into the device copy
+        self._layout = None       # 'bucketized' | 'gather', set on first
+        #                           _ensure_device (db-dtype dependent)
 
     # ------------------------------------------------------------- plumbing
 
@@ -361,6 +363,8 @@ class IVFIndex:
             self._dev["sqnorms"] = (
                 sqnorms[flat].reshape(self._ids.shape)
                 if sqnorms is not None else None)
+        self._layout = ("gather" if self._gather_layout(db)
+                        else "bucketized")
         self._dev_rows = self._n
 
     def search(self, queries, db, count: int, k: int,
@@ -443,13 +447,13 @@ class IVFIndex:
     def get_stats(self) -> dict:
         nb, bc = (self._ids.shape if self._ids is not None else (0, 0))
         live = int((self._ids >= 0).sum()) if self._ids is not None else 0
-        gather = self._dev is not None and "buckets" not in self._dev
+        gather = self._layout == "gather"
         # gather layout holds only the id table on device; bucketized
         # duplicates the rows in the storage dtype
         per_slot = 4 if gather else (self.dim * 2 + 4)
         return {
             "type": "ivf",
-            "layout": "gather" if gather else "bucketized",
+            "layout": self._layout or "unmaterialized",
             "nodes": self._n,
             "clusters": (len(self._centroids)
                          if self._centroids is not None else 0),
