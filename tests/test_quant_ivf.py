@@ -203,19 +203,40 @@ class TestQuantizedStoreIVF:
                               enable_ann=True,
                               ann_params={"index_type": "beam_graph"})
 
-    def test_sharded_quantized_serves_exact(self, tmp_path, rng):
+    @pytest.mark.parametrize("dtype", ["int8", "int4"])
+    def test_sharded_quantized_gather_ivf(self, tmp_path, rng, dtype):
+        """Sharded quantized store builds a gather-mode ShardedIVF: probes
+        gather rows from the sharded flat matrix inside shard_map; a
+        full-probe query must match the exact sharded sweep."""
         from tpu_vector_db.parallel.mesh import make_device_mesh
+        from tpu_vector_db.parallel.sharded_ivf import ShardedIVF
         from tpu_vector_db.parallel.sharded_store import ShardedVectorStore
         d = 64
-        x = unit_rows(rng, 600, d)
+        n = 600
+        x = unit_rows(rng, n, d)
         store = ShardedVectorStore(
-            tmp_path / "q_shard",
+            tmp_path / f"q_shard_{dtype}",
             VectorStoreConfig(dimension=d, metric="cosine",
-                              storage_dtype="int8", enable_ann=True,
-                              ann_params=dict(ANN_PARAMS)),
+                              storage_dtype=dtype, enable_ann=True,
+                              ann_params={**ANN_PARAMS, "n_clusters": 2,
+                                          "nprobe": 64, "bucket_rows": 64}),
             mesh=make_device_mesh(8))
-        store.add_vectors(x, [{} for _ in range(600)])
-        assert store._ann is None          # guard: exact per-shard sweep
-        assert store._ann_kind == "flat"
-        ids, scores, _ = store.query(x[5], k=3)
-        assert ids[0] == 5 and scores[0] > 0.98
+        store.add_vectors(x, [{"g": i % 2} for i in range(n)])
+        assert isinstance(store._ann, ShardedIVF)
+        assert store._ann.quant == dtype
+        assert store._ann._dev["buckets"] is None    # gather mode
+        assert store._ann_kind == "ivf"
+        # full probe (nprobe >= all local buckets) == exact sharded sweep
+        exact = store.batch_query(x[:6], k=5, use_ann=False)
+        annr = store.batch_query(x[:6], k=5)
+        for (ei, es, _), (ai, asc, _) in zip(exact, annr):
+            np.testing.assert_allclose(np.asarray(asc), np.asarray(es),
+                                       atol=6e-3)
+        # incremental add extends in place and stays searchable
+        more = unit_rows(rng, 40, d)
+        store.add_vectors(more, [{"g": 0} for _ in range(40)])
+        ids, scores, _ = store.query(more[7], k=3)
+        assert ids[0] == n + 7 and scores[0] > 0.95
+        # filtered query through the ANN oversample path
+        ids, scores, md = store.query(x[4], k=3, filter_metadata={"g": 0})
+        assert md and all(m["g"] == 0 for m in md)

@@ -33,7 +33,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from tpu_vector_db.index.ivf import IVFIndex, _next_pow2, _select_buckets
 from tpu_vector_db.ops import distance as D
-from tpu_vector_db.ops.ivf_scan import ivf_probe_topk_xla
+from tpu_vector_db.ops.ivf_scan import (ivf_probe_topk_gather,
+                                        ivf_probe_topk_xla)
 from tpu_vector_db.parallel.mesh import SHARD_AXIS
 
 logger = logging.getLogger(__name__)
@@ -50,7 +51,7 @@ class ShardedIVF:
     def __init__(self, dim: int, metric: str, mesh: Mesh,
                  nprobe: int = 32, n_clusters: int | None = None,
                  bucket_rows: int | None = None, train_iters: int = 10,
-                 storage_dtype=jnp.bfloat16,
+                 storage_dtype=jnp.bfloat16, quant: str | None = None,
                  axis_name: str = SHARD_AXIS) -> None:
         self.dim = dim
         self.metric = metric
@@ -62,6 +63,12 @@ class ShardedIVF:
         self.bucket_rows = bucket_rows
         self.train_iters = int(train_iters)
         self.storage_dtype = storage_dtype
+        # quant='int8'/'int4': GATHER mode (index/ivf.py class docstring) —
+        # no sharded bucket copy; probes gather rows from the store's
+        # sharded flat matrix inside shard_map. Cosine-only by store config.
+        self.quant = quant
+        if quant and metric == "euclidean":
+            raise ValueError("quantized sharded IVF is cosine/dot only")
 
         self._subs: list[IVFIndex] = []
         self._dev: dict | None = None     # mesh-sharded assembled arrays
@@ -83,11 +90,28 @@ class ShardedIVF:
         return self._count
 
     def _prepare(self, raw: np.ndarray) -> np.ndarray:
-        """Host prep identical to the store's: normalize (cosine) + pad."""
+        """Host prep identical to the store's: normalize (cosine) + pad
+        (int4 pads to the packed 256-multiple like the store)."""
         x = np.ascontiguousarray(raw, np.float32)
         if self.metric == "cosine":
             x = x / np.maximum(np.linalg.norm(x, axis=-1, keepdims=True), 1e-8)
-        return np.asarray(D.pad_dim(jnp.asarray(x)), np.float32)
+        mult = 256 if self.quant == "int4" else 128
+        return np.asarray(D.pad_dim(jnp.asarray(x), multiple=mult),
+                          np.float32)
+
+    def _quantize(self, prepared: np.ndarray):
+        """Quantize prepared rows exactly like the store's _prepare_block
+        (vector_store.py): int8 = fixed x127 scale on unit-norm rows;
+        int4 = offset-8 nibbles + per-row scale (ops/quant4.pack_int4).
+        Returns (device rows in the sub-index dtype, scales | None)."""
+        if self.quant == "int8":
+            q = jnp.clip(jnp.round(jnp.asarray(prepared) * 127.0),
+                         -127, 127).astype(jnp.int8)
+            return q, None
+        if self.quant == "int4":
+            from tpu_vector_db.ops.quant4 import pack_int4
+            return pack_int4(jnp.asarray(prepared))
+        return jnp.asarray(prepared, self.storage_dtype), None
 
     # ----------------------------------------------------------------- build
 
@@ -112,8 +136,8 @@ class ShardedIVF:
                            train_iters=self.train_iters, seed=s)
             if local_n > 0:
                 prepared = self._prepare(host_vectors[lo:hi])
-                sub.build(jnp.asarray(prepared, self.storage_dtype),
-                          local_n)
+                rows_dev, scales = self._quantize(prepared)
+                sub.build(rows_dev, local_n, scales=scales)
             self._subs.append(sub)
 
         self._bc = bc
@@ -139,9 +163,12 @@ class ShardedIVF:
         ids = np.full((self.n_dev, nb_pad, bc), -1, np.int32)
         bclust = np.full((self.n_dev, nb_pad), -1, np.int32)
         fills = np.zeros((self.n_dev, nb_pad), np.int32)
-        buckets = np.zeros((self.n_dev, nb_pad, bc, d_pad), np.float32)
+        # gather mode (quant): no bucketized row copy — probes gather from
+        # the store's sharded flat matrix at query time
+        buckets = (None if self.quant else
+                   np.zeros((self.n_dev, nb_pad, bc, d_pad), np.float32))
         bsq = (np.zeros((self.n_dev, nb_pad, bc), np.float32)
-               if self.metric == "euclidean" else None)
+               if self.metric == "euclidean" and not self.quant else None)
 
         for s, sub in enumerate(self._subs):
             if not sub.built:
@@ -151,6 +178,8 @@ class ShardedIVF:
             ids[s, :nb_s] = sub._ids
             bclust[s, :nb_s] = sub._bucket_cluster
             fills[s, :nb_s] = bc - sub._free
+            if buckets is None:
+                continue
             lo = s * rows
             hi = min(self._count, lo + rows)
             prepared = self._prepare(host_vectors[lo:hi])
@@ -174,8 +203,9 @@ class ShardedIVF:
             "ids": jax.device_put(jnp.asarray(ids), shard2),
             "bucket_cluster": jax.device_put(jnp.asarray(bclust), shard1),
             "fills": jax.device_put(jnp.asarray(fills), shard1),
-            "buckets": jax.device_put(
-                jnp.asarray(buckets, self.storage_dtype), shard3),
+            "buckets": (jax.device_put(
+                jnp.asarray(buckets, self.storage_dtype), shard3)
+                if buckets is not None else None),
             "bucket_sqnorms": (jax.device_put(jnp.asarray(bsq), shard2)
                                if bsq is not None else None),
         }
@@ -207,8 +237,8 @@ class ShardedIVF:
             new_raw = host_vectors[lo + local_old: lo + local_n]
             prepared = self._prepare(new_raw)
             if not sub.built:
-                sub.build(jnp.asarray(prepared, self.storage_dtype),
-                          local_n - local_old)
+                rows_dev, scales = self._quantize(prepared)
+                sub.build(rows_dev, local_n - local_old, scales=scales)
                 overflow = True  # new shard came alive: re-assemble
                 continue
             assign = sub.assign_host(prepared)
@@ -272,13 +302,15 @@ class ShardedIVF:
         local_ids = np.asarray(
             [g - s * self._rows_per_shard for s, _, _, g in scat],
             np.int32)
-        prepared = self._prepare(host_vectors[grows])
+        prepared = (self._prepare(host_vectors[grows])
+                    if self._dev["buckets"] is not None else None)
 
         scatter_rows, scatter_ids = self._get_scatter_jits()
         dev = self._dev
-        dev["buckets"] = scatter_rows(
-            dev["buckets"], jnp.asarray(flat_pos),
-            jnp.asarray(prepared, self.storage_dtype))
+        if dev["buckets"] is not None:   # bucketized layout only
+            dev["buckets"] = scatter_rows(
+                dev["buckets"], jnp.asarray(flat_pos),
+                jnp.asarray(prepared, self.storage_dtype))
         dev["ids"] = scatter_ids(
             dev["ids"], jnp.asarray(flat_pos), jnp.asarray(local_ids))
         if dev["bucket_sqnorms"] is not None:
@@ -304,30 +336,56 @@ class ShardedIVF:
 
     def make_search_fn(self, k: int, nprobe: int, with_sqnorms: bool):
         """(q, cents, csq, bclust, buckets, ids, fills[, bsq]) ->
-        replicated (keys, global ids). Probes `nprobe` buckets PER SHARD."""
+        replicated (keys, global ids). Probes `nprobe` buckets PER SHARD.
+
+        Gather mode (quant set): signature becomes
+        (q, cents, csq, bclust, ids, fills, db[, scales]) — db is the
+        STORE's row-sharded flat matrix; each shard's probes gather their
+        rows from the local db block (ops/ivf_scan.ivf_probe_topk_gather),
+        so the only cross-chip traffic stays the k·P winner all-gather."""
         axis = self.axis_name
         metric = self.metric
         rows_local = self._rows_per_shard
         p_eff = min(nprobe, self._nb_pad)
 
-        def core(q, cents, csq, bclust, buckets, ids, fills, bsq):
+        def merge(q, keys, out):
             shard = jax.lax.axis_index(axis)
             offset = (shard * rows_local).astype(jnp.int32)
-            sel = _select_buckets(q, cents[0], bclust[0], p_eff, metric,
-                                  csq[0])
-            keys, out = ivf_probe_topk_xla(
-                q, buckets[0], ids[0], sel, k, metric=metric,
-                bucket_sqnorms=bsq[0] if bsq is not None else None)
             gids = jnp.where(out >= 0, out + offset, -1)
             all_keys = jax.lax.all_gather(keys, axis, axis=1, tiled=True)
             all_ids = jax.lax.all_gather(gids, axis, axis=1, tiled=True)
             vals, selm = jax.lax.top_k(all_keys, k)
             return vals, jnp.take_along_axis(all_ids, selm, axis=-1)
 
+        def core(q, cents, csq, bclust, buckets, ids, fills, bsq):
+            sel = _select_buckets(q, cents[0], bclust[0], p_eff, metric,
+                                  csq[0])
+            keys, out = ivf_probe_topk_xla(
+                q, buckets[0], ids[0], sel, k, metric=metric,
+                bucket_sqnorms=bsq[0] if bsq is not None else None)
+            return merge(q, keys, out)
+
+        def core_gather(q, cents, csq, bclust, ids, fills, db, scales):
+            sel = _select_buckets(q, cents[0], bclust[0], p_eff, metric,
+                                  csq[0])
+            keys, out = ivf_probe_topk_gather(
+                q, db, ids[0], sel, k, metric=metric, db_scales=scales)
+            return merge(q, keys, out)
+
         row1 = P(axis, None)
         row2 = P(axis, None, None)
         row3 = P(axis, None, None, None)
-        if with_sqnorms:
+        if self.quant:
+            if self.quant == "int4":
+                fn = core_gather
+                in_specs = (P(), row2, row1, row1, row2, row1,
+                            P(axis, None), P(axis))
+            else:
+                fn = (lambda q, c_, cs, bc_, i_, f_, db:  # noqa: E731
+                      core_gather(q, c_, cs, bc_, i_, f_, db, None))
+                in_specs = (P(), row2, row1, row1, row2, row1,
+                            P(axis, None))
+        elif with_sqnorms:
             fn = core
             in_specs = (P(), row2, row1, row1, row3, row2, row1, row2)
         else:
@@ -340,6 +398,10 @@ class ShardedIVF:
 
     def search_args(self):
         dev = self._dev
+        if self.quant:
+            # caller appends the store's sharded flat db (+ int4 scales)
+            return [dev["centroids"], dev["c_sqnorms"],
+                    dev["bucket_cluster"], dev["ids"], dev["fills"]]
         args = [dev["centroids"], dev["c_sqnorms"], dev["bucket_cluster"],
                 dev["buckets"], dev["ids"], dev["fills"]]
         if dev["bucket_sqnorms"] is not None:

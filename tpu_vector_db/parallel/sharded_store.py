@@ -230,10 +230,6 @@ class ShardedVectorStore(TPUVectorStore):
         ShardedIVF for 'auto'), or query-time k-routing (the ivf_large_k
         divert in vector_store.batch_query) and get_stats()['index_type']
         would describe an index other than the one serving."""
-        if self.config.storage_dtype in ("int8", "int4"):
-            # gather-layout IVF is single-chip only for now; the sharded
-            # quantized store serves the exact per-shard sweep
-            return "flat"
         return "ivf"
 
     def _refresh_ann(self, incremental_from=None) -> None:
@@ -245,15 +241,6 @@ class ShardedVectorStore(TPUVectorStore):
         native builder; degrades to the sharded flat scan otherwise."""
         from tpu_vector_db.index import native
         if self._count == 0:
-            return
-        if self.config.storage_dtype in ("int8", "int4"):
-            # gather-layout IVF (index/ivf.py) is single-chip only; the
-            # sharded quantized store serves the exact per-shard sweep
-            logger.info("sharded %s store: serving the exact per-shard "
-                        "sweep (no sharded gather-IVF yet)",
-                        self.config.storage_dtype)
-            self._ann = None
-            self._ann_stale = False
             return
         if self.config.ann_params.get("index_type", "auto") in ("auto",
                                                                 "ivf"):
@@ -307,13 +294,15 @@ class ShardedVectorStore(TPUVectorStore):
             self._ann_stale = False
             return
         dtype = self._dtype
+        quant = (self.config.storage_dtype
+                 if self.config.storage_dtype in ("int8", "int4") else None)
         self._ann = ShardedIVF(
             dim=self.config.dimension, metric=self.metric, mesh=self.mesh,
             nprobe=p.get("nprobe", 32),
             n_clusters=p.get("n_clusters"),
             bucket_rows=p.get("bucket_rows"),
             train_iters=p.get("train_iters", 10),
-            storage_dtype=dtype)
+            storage_dtype=dtype, quant=quant)
         if not (self._ann.load(self.store_path, self._host_buf, self._cap)
                 and self._ann.size == self._count):
             self._ann.build(self._host_buf, self._count, self._cap)
@@ -337,7 +326,16 @@ class ShardedVectorStore(TPUVectorStore):
                     fetch_k, nprobe,
                     with_sqnorms=(self.metric == "euclidean"))
                 self._ann_fns.put(key, fn)
-            keys, labels = fn(q, *self._ann.search_args())
+            args = [q, *self._ann.search_args()]
+            if self._ann.quant:   # gather mode probes the flat matrix
+                args.append(self._db)
+                if self._ann.quant == "int4":
+                    args.append(self._scales)
+            keys, labels = fn(*args)
+            if self._ann.quant == "int8":
+                # raw x127 quantizer scale, same as the flat engine
+                keys = jnp.where(jnp.isfinite(keys),
+                                 keys * (1.0 / 127.0), keys)
         else:
             ef = p.get("ef_search", 100)
             key = (fetch_k, max(ef, fetch_k), self._cap)
