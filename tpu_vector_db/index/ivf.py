@@ -161,6 +161,8 @@ class IVFIndex:
         self._n = count
         self._dev = None
         self._dev_rows = 0
+        self._layout = ("gather" if self._gather_layout(db)
+                        else "bucketized")
         self.build_time_s = time.perf_counter() - t0
         logger.info(
             "IVF built: %d rows, %d clusters, %d buckets x %d rows in %.1fs",
@@ -449,8 +451,13 @@ class IVFIndex:
         live = int((self._ids >= 0).sum()) if self._ids is not None else 0
         gather = self._layout == "gather"
         # gather layout holds only the id table on device; bucketized
-        # duplicates the rows in the storage dtype
+        # duplicates the rows in the storage dtype. Before the first
+        # build/search nothing is materialized — report 0, not a
+        # hypothetical bucket copy (review finding: a freshly LOADED 32M
+        # int4 index claimed tens of GB it never allocates)
         per_slot = 4 if gather else (self.dim * 2 + 4)
+        if self._dev is None and self._layout is None:
+            per_slot = 0
         return {
             "type": "ivf",
             "layout": self._layout or "unmaterialized",

@@ -50,11 +50,19 @@ def _widen_block(block, scales_block):
 
 
 def _seed_rows(db, idx, db_scales):
-    """Gather seed/reseed centroid rows in f32 (dequantized for int4)."""
+    """Gather seed/reseed centroid rows in f32 (dequantized for int4).
+
+    int8 rows divide their fixed x127 scale back out: RESEEDS mix with
+    surviving centroids that the cosine Lloyd step has normalized to unit
+    norm, and a x127-magnitude reseed would capture every row whose
+    cosine beats best/127 — i.e. the whole corpus (review finding)."""
     if db.dtype == jnp.uint8:
         from tpu_vector_db.ops.quant4 import unpack_int4
         return unpack_int4(db[idx], db_scales[idx])
-    return db[idx].astype(jnp.float32)
+    rows = db[idx].astype(jnp.float32)
+    if db.dtype == jnp.int8:
+        rows = rows * (1.0 / 127.0)
+    return rows
 
 
 def _block_layout(n_pad: int, block_rows: int) -> tuple[int, int]:

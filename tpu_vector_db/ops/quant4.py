@@ -52,6 +52,24 @@ def pack_int4(x: jnp.ndarray, normalize: bool = True):
     return (lo | (hi << jnp.uint8(4))), scale.astype(jnp.float32)
 
 
+def quantize_unit_rows(x: jnp.ndarray, storage_dtype: str):
+    """THE store quantizer for unit-norm cosine rows, shared by the store
+    (vector_store._prepare_block) and the sharded IVF's training path
+    (parallel/sharded_ivf.ShardedIVF._quantize) so the rows an index
+    trains on can never drift from the rows the store serves.
+
+    'int8': fixed x127 scale (no per-row scale stream; callers divide
+    keys back by 127) -> ((n, d) int8, None). 'int4': pack_int4 with
+    unit-norm-preserving per-row scales -> ((n, d//2) uint8, (n,) f32).
+    """
+    if storage_dtype == "int8":
+        return (jnp.clip(jnp.round(x * 127.0), -127, 127).astype(jnp.int8),
+                None)
+    if storage_dtype == "int4":
+        return pack_int4(x)
+    raise ValueError(f"not a quantized storage dtype: {storage_dtype!r}")
+
+
 @jax.jit
 def unpack_int4(packed: jnp.ndarray, scales: jnp.ndarray) -> jnp.ndarray:
     """((n, d//2) uint8, (n,) f32) -> (n, d) f32 dequantized rows."""

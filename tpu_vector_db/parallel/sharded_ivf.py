@@ -100,17 +100,13 @@ class ShardedIVF:
                           np.float32)
 
     def _quantize(self, prepared: np.ndarray):
-        """Quantize prepared rows exactly like the store's _prepare_block
-        (vector_store.py): int8 = fixed x127 scale on unit-norm rows;
-        int4 = offset-8 nibbles + per-row scale (ops/quant4.pack_int4).
-        Returns (device rows in the sub-index dtype, scales | None)."""
-        if self.quant == "int8":
-            q = jnp.clip(jnp.round(jnp.asarray(prepared) * 127.0),
-                         -127, 127).astype(jnp.int8)
-            return q, None
-        if self.quant == "int4":
-            from tpu_vector_db.ops.quant4 import pack_int4
-            return pack_int4(jnp.asarray(prepared))
+        """Quantize prepared rows with the SAME helper the store's
+        _prepare_block uses (ops/quant4.quantize_unit_rows) — the index
+        trains on exactly the rows the store serves. Returns (device rows
+        in the sub-index dtype, scales | None)."""
+        if self.quant:
+            from tpu_vector_db.ops.quant4 import quantize_unit_rows
+            return quantize_unit_rows(jnp.asarray(prepared), self.quant)
         return jnp.asarray(prepared, self.storage_dtype), None
 
     # ----------------------------------------------------------------- build

@@ -289,7 +289,13 @@ class ShardedVectorStore(TPUVectorStore):
         if (isinstance(self._ann, ShardedIVF) and incremental_from
                 and self._ann.size == incremental_from
                 and self._ann._rows_per_shard == self._cap // self._n_dev):
+            nb_before = self._ann._nb_pad
             self._ann.add(self._host_buf, incremental_from, self._count)
+            if self._ann._nb_pad != nb_before:
+                # bucket table grew: cached search fns froze
+                # p_eff = min(nprobe, old nb_pad) and would silently probe
+                # fewer buckets than the nprobe contract (review finding)
+                self._ann_fns = _CompiledFnCache()
             self._persist_sharded_ann()
             self._ann_stale = False
             return

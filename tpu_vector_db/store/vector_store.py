@@ -281,14 +281,15 @@ class TPUVectorStore:
             x = D.l2_normalize(x)
         x = D.pad_dim(x, multiple=256 if self._quant4 else 128)
         if self._quant4:
-            from tpu_vector_db.ops.quant4 import pack_int4
+            from tpu_vector_db.ops.quant4 import quantize_unit_rows
             # per-row scales fold the dequantized norm back to 1, so the
             # kernel's keys are the true cosine of the stored point
-            return pack_int4(x)
+            return quantize_unit_rows(x, "int4")
         if self._dtype == jnp.int8:
+            from tpu_vector_db.ops.quant4 import quantize_unit_rows
             # unit-norm rows -> fixed 127 scale, no per-row scale stream;
             # _flat_topk divides scores back by 127
-            return jnp.clip(jnp.round(x * 127.0), -127, 127).astype(jnp.int8)
+            return quantize_unit_rows(x, "int8")[0]
         return x.astype(self._dtype)
 
     def _reset_device(self, capacity: int) -> None:
