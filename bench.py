@@ -363,6 +363,114 @@ def _ivf_row():
     return row
 
 
+def _quant_ivf_row():
+    """Gather-layout IVF over the int8 capacity mode: 16M x 768D on one
+    chip, batch-1 probes that GATHER rows from the flat matrix (no
+    bucketized copy — ops/ivf_scan.ivf_probe_topk_gather). The exact
+    engine's batch-1 p50 at this scale is the full ~25 ms sweep
+    (int8_capacity row); this row attests the probed path + its
+    score-recall gate."""
+    import functools
+
+    from tpu_vector_db.index.ivf import IVFIndex, _select_buckets
+    from tpu_vector_db.ops.ivf_scan import ivf_probe_topk_gather
+
+    d = 768
+    n = 16 * 2 ** 20 if ON_TPU else 20_000
+    n_pad = ((n + BLOCK - 1) // BLOCK) * BLOCK
+    _log(f"quant_ivf: building {n_pad} x {d} clustered int8")
+    n_centers = 8192 if ON_TPU else 64
+    kc = jax.random.PRNGKey(99)
+    centers = jax.random.normal(kc, (n_centers, d), jnp.float32)
+
+    @functools.partial(jax.jit, donate_argnums=(0,),
+                       static_argnames=("rows",))
+    def fill_fn(buf, cents, key, start, rows):
+        k1, k2 = jax.random.split(key)
+        idx = jax.random.randint(k1, (rows,), 0, n_centers)
+        x = cents[idx] + 0.25 * jax.random.normal(k2, (rows, d),
+                                                  jnp.float32)
+        x = x / jnp.maximum(
+            jnp.sqrt(jnp.sum(x * x, -1, keepdims=True)), 1e-8)
+        q8 = jnp.clip(jnp.round(x * 127.0), -127, 127).astype(jnp.int8)
+        return jax.lax.dynamic_update_slice(buf, q8, (start, 0))
+
+    buf = jnp.zeros((n_pad, d), jnp.int8)
+    key = jax.random.PRNGKey(7)
+    start = 0
+    while start < n_pad:
+        rows = min(2 ** 19, n_pad - start)
+        key, sub = jax.random.split(key)
+        buf = fill_fn(buf, centers, sub, jnp.int32(start), rows)
+        start += rows
+    jax.block_until_ready(buf)
+
+    idx = IVFIndex(dim=d, metric="cosine",
+                   nprobe=64 if ON_TPU else 8,
+                   n_clusters=None if ON_TPU else 64)
+    t0 = time.perf_counter()
+    st = idx.build(buf, n)
+    build_s = time.perf_counter() - t0
+    _log(f"  built in {build_s:.0f}s C={st['clusters']}")
+    idx._ensure_device(buf, None)
+    dev = idx._dev
+    nprobe = idx.nprobe
+
+    def step(q, acc, db, ids, cents, bclust, csq):
+        sel = _select_buckets(q, cents, bclust, nprobe, "cosine", csq)
+        kv, _ = ivf_probe_topk_gather(q, db, ids, sel, 10)
+        kv = jnp.where(jnp.isfinite(kv), kv, 0.0)
+        return q + jnp.mean(kv) * 1e-9, acc + jnp.sum(kv)
+
+    iargs = (buf, dev["ids"], dev["centroids"], dev["bucket_cluster"],
+             dev["c_sqnorms"])
+    inner = 10 if ON_TPU else 2
+
+    @jax.jit
+    def chunk(q, acc, *args):
+        def body(_, carry):
+            q, acc = carry
+            return step(q, acc, *args)
+        return jax.lax.fori_loop(0, inner, body, (q, acc))
+
+    q0 = _queries(1, d, seed=5)
+    qq, acc = chunk(q0, jnp.float32(0), *iargs)
+    float(acc)
+    for _ in range(2):
+        qq, acc = chunk(qq, acc, *iargs)
+    float(acc)
+    outer = 3 if ON_TPU else 1
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(outer):
+            qq, acc = chunk(qq, acc, *iargs)
+        float(acc)
+        dt = min(dt, (time.perf_counter() - t0) / (outer * inner))
+
+    # score-recall@10 vs the exact engine on the SAME int8 rows
+    nq = 16
+    qs = _queries(nq, d, seed=6)
+    ids_all, keys_all = idx.search(qs, buf, n, k=10)
+    count = jnp.int32(n)
+    engine = _engine(count, 10)
+    ek, _ = engine(qs, buf)
+    kth = np.asarray(ek, np.float32)[:, -1]
+    tol = 0.004 * np.maximum(np.abs(kth), 127.0)
+    recall = float(np.mean(
+        np.asarray(keys_all, np.float32) >= kth[:, None] - tol[:, None]))
+    row = {
+        "metric": f"quant_ivf_int8_{n//1000}Kx{d}D_b1_k10_nprobe{nprobe}",
+        "value": round(1.0 / dt, 1), "unit": "QPS",
+        "latency_ms_p50": round(dt * 1e3, 3),
+        "score_recall_at_10": round(recall, 4),
+        "build_s": round(build_s, 1),
+        "layout": "gather",
+    }
+    del buf
+    return row
+
+
 def main() -> None:
     global ON_TPU
     ON_TPU = jax.default_backend() == "tpu"
@@ -420,6 +528,9 @@ def main() -> None:
             "flat_cosine_int8", 100_000, 768, 64, 10, dtype=jnp.int8))
     # int4 capacity mode: 32M x 768D on one chip (2x int8's rows)
     run("int4_capacity", _int4_row)
+    # gather-layout IVF over the int8 capacity mode: probed batch-1 at
+    # 16M rows (vs the exact engine's full-sweep p50 above)
+    run("quant_ivf", _quant_ivf_row)
 
     head = suite[0] if suite and "error" not in suite[0] else {}
     out = {
