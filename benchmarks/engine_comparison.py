@@ -145,6 +145,12 @@ def main() -> None:
         "flat-int8", VectorStoreConfig(
             dimension=args.dim, persist_mode="off", storage_dtype="int8"),
         vectors, queries, args.k, base))
+    rows.append(bench_store(
+        "ivf-int8-gather", VectorStoreConfig(
+            dimension=args.dim, persist_mode="off", storage_dtype="int8",
+            enable_ann=True,
+            ann_params={"index_type": "ivf", "min_rows": 0}),
+        vectors, queries, args.k, base))
     for ext in (bench_torch(vectors, queries, args.k),
                 bench_faiss(vectors, queries, args.k)):
         if ext:
