@@ -197,6 +197,51 @@ class TestQuantizedStoreIVF:
         assert len(ids) > 0
         assert all(m["par"] == 0 for m in md)
 
+    def test_quantize_unit_rows_roundtrip(self, rng):
+        """The shared quantizer's int4 path must roundtrip within the
+        nibble step and keep dequantized rows unit-norm; int8 must be the
+        fixed x127 scale."""
+        from tpu_vector_db.ops.quant4 import quantize_unit_rows
+        x = unit_rows(rng, 64, 128)
+        q8, s8 = quantize_unit_rows(jnp.asarray(x), "int8")
+        assert s8 is None and q8.dtype == jnp.int8
+        np.testing.assert_allclose(np.asarray(q8, np.float32) / 127.0, x,
+                                   atol=0.5 / 127.0)
+        p4, s4 = quantize_unit_rows(jnp.asarray(x), "int4")
+        deq = np.asarray(unpack_int4(p4, s4))
+        np.testing.assert_allclose(np.linalg.norm(deq, axis=1), 1.0,
+                                   atol=1e-5)
+        cos = np.sum(deq * x, axis=1)
+        assert cos.min() > 0.98, cos.min()
+        with pytest.raises(ValueError):
+            quantize_unit_rows(jnp.asarray(x), "bfloat16")
+
+    def test_sharded_quant_reload_skips_rebuild(self, tmp_path, rng):
+        from tpu_vector_db.parallel.mesh import make_device_mesh
+        from tpu_vector_db.parallel.sharded_ivf import ShardedIVF
+        from tpu_vector_db.parallel.sharded_store import ShardedVectorStore
+        d, n = 64, 500
+        x = unit_rows(rng, n, d)
+        path = tmp_path / "q_shard_reload"
+        cfg = VectorStoreConfig(dimension=d, metric="cosine",
+                                storage_dtype="int8", enable_ann=True,
+                                ann_params={**ANN_PARAMS, "n_clusters": 2,
+                                            "nprobe": 64,
+                                            "bucket_rows": 64})
+        mesh = make_device_mesh(8)
+        store = ShardedVectorStore(path, cfg, mesh=mesh)
+        store.add_vectors(x)
+        want = store.query(x[17], k=3)
+        store.flush()
+        store2 = ShardedVectorStore(path, mesh=mesh)
+        assert isinstance(store2._ann, ShardedIVF)
+        assert store2._ann.quant == "int8"
+        assert store2._ann._dev["buckets"] is None
+        assert store2._ann.size == n
+        got = store2.query(x[17], k=3)
+        assert got[0][0] == want[0][0]
+        np.testing.assert_allclose(got[1][0], want[1][0], atol=1e-3)
+
     def test_beam_graph_on_quantized_rejected(self):
         with pytest.raises(ValueError, match="auto|flat|ivf"):
             VectorStoreConfig(dimension=16, storage_dtype="int8",
