@@ -467,4 +467,40 @@ def test_capacity_dtype_store_via_rest(client_factory, rng):
                 "user_id": "u", "model_id": "bad", "dimension": 64,
                 "metric": "euclidean", "storage_dtype": "int4"})
             assert r.status == 400, await r.text()
+
+            # int8 + gather-layout IVF over REST (r3): quantized capacity
+            # stores accept index_type=ivf and serve probed queries
+            r = await client.post("/admin/create_store", headers=ADMIN, json={
+                "user_id": "u", "model_id": "cap8ivf", "dimension": 64,
+                "metric": "cosine", "storage_dtype": "int8",
+                "index_type": "ivf",
+                "ann_params": {"min_rows": 0, "n_clusters": 4,
+                               "nprobe": 8, "bucket_rows": 64,
+                               "self_check": False}})
+            assert r.status == 201, await r.text()
+            vecs8 = rng.standard_normal((300, 64)).astype("float32")
+            r = await client.post("/vectors/add", headers=AUTH, json={
+                "user_id": "u", "model_id": "cap8ivf",
+                "vectors": vecs8.tolist(),
+                "metadata": [{"i": i} for i in range(300)]})
+            assert r.status == 200, await r.text()
+            r = await client.post("/vectors/query", headers=AUTH, json={
+                "user_id": "u", "model_id": "cap8ivf",
+                "query": vecs8[11].tolist(), "k": 3})
+            assert r.status == 200
+            body = await r.json()
+            assert body["results"][0]["metadata"]["i"] == 11
+            r = await client.get("/vectors/stats",
+                                 params={"user_id": "u",
+                                         "model_id": "cap8ivf"},
+                                 headers=AUTH)
+            stats = await r.json()
+            assert stats["index_type"] == "ivf"
+
+            # beam graph on quantized rows still 400s
+            r = await client.post("/admin/create_store", headers=ADMIN, json={
+                "user_id": "u", "model_id": "bad2", "dimension": 64,
+                "metric": "cosine", "storage_dtype": "int8",
+                "index_type": "hnsw"})
+            assert r.status == 400, await r.text()
     run(go())
