@@ -242,6 +242,43 @@ class TestQuantizedStoreIVF:
         assert got[0][0] == want[0][0]
         np.testing.assert_allclose(got[1][0], want[1][0], atol=1e-3)
 
+    def test_bf16_gather_layout_knob(self, tmp_path, rng):
+        """ivf_layout='gather' keeps bf16 IVF memory at the id table
+        (no bucketized row copy) and still matches the exact engine on a
+        full probe."""
+        d = 64
+        x = unit_rows(rng, 2000, d)
+        store = TPUVectorStore(
+            tmp_path / "bf16_gather",
+            VectorStoreConfig(dimension=d, metric="cosine",
+                              storage_dtype="bfloat16", enable_ann=True,
+                              ann_params={**ANN_PARAMS,
+                                          "ivf_layout": "gather"}))
+        store.add_vectors(x, [{} for _ in range(2000)])
+        assert store._ann_kind == "ivf"
+        ids, scores, _ = store.query(x[99], k=5)
+        st = store._ann.get_stats()
+        assert st["layout"] == "gather"
+        exact = store.batch_query(x[:6], k=5, use_ann=False)
+        annr = store.batch_query(x[:6], k=5)
+        for (ei, es, _), (ai, asc, _) in zip(exact, annr):
+            np.testing.assert_allclose(np.asarray(asc), np.asarray(es),
+                                       atol=6e-3)
+
+    def test_bucketized_override_on_quantized_warns_to_gather(
+            self, tmp_path, rng):
+        d = 64
+        x = unit_rows(rng, 1500, d)
+        store = TPUVectorStore(
+            tmp_path / "q_forced",
+            VectorStoreConfig(dimension=d, metric="cosine",
+                              storage_dtype="int8", enable_ann=True,
+                              ann_params={**ANN_PARAMS,
+                                          "ivf_layout": "bucketized"}))
+        store.add_vectors(x, [{} for _ in range(1500)])
+        store.query(x[3], k=3)
+        assert store._ann.get_stats()["layout"] == "gather"
+
     def test_beam_graph_on_quantized_rejected(self):
         with pytest.raises(ValueError, match="auto|flat|ivf"):
             VectorStoreConfig(dimension=16, storage_dtype="int8",

@@ -94,7 +94,7 @@ class IVFIndex:
     def __init__(self, dim: int, metric: str = "cosine",
                  n_clusters: int | None = None, nprobe: int = 32,
                  bucket_rows: int | None = None, train_iters: int = 10,
-                 seed: int = 0) -> None:
+                 seed: int = 0, layout: str = "auto") -> None:
         self.dim = dim
         self.metric = metric
         self.n_clusters = n_clusters          # None = auto at build
@@ -102,6 +102,15 @@ class IVFIndex:
         self.bucket_rows = bucket_rows        # None = auto at build
         self.train_iters = int(train_iters)
         self._seed = seed
+        # 'auto': gather for quantized dtypes (capacity scale), bucketized
+        # otherwise. 'gather': force the zero-duplication layout on any
+        # dtype (bf16 stores trade probe contiguity for keeping the full
+        # ~9M-row/chip ceiling — bucketized IVF halves it). 'bucketized':
+        # force the contiguous-DMA copy (fastest probes, ~1x extra rows).
+        if layout not in ("auto", "gather", "bucketized"):
+            raise ValueError(f"layout must be auto|gather|bucketized, "
+                             f"got {layout!r}")
+        self.layout_mode = layout
 
         self._n = 0
         self._centroids: np.ndarray | None = None       # (C, d_pad) f32 host
@@ -339,11 +348,23 @@ class IVFIndex:
 
     # ---------------------------------------------------------------- search
 
-    @staticmethod
-    def _gather_layout(db) -> bool:
-        """Quantized capacity dtypes serve probes by gathering from the
-        store's flat matrix — no bucketized row copy (class docstring)."""
-        return db.dtype in (jnp.int8, jnp.uint8)
+    def _gather_layout(self, db) -> bool:
+        """Quantized capacity dtypes default to gathering probes from the
+        store's flat matrix — no bucketized row copy (class docstring);
+        layout='gather'/'bucketized' overrides per config."""
+        if db.dtype in (jnp.int8, jnp.uint8):
+            # quantized rows MUST gather: the bucket probe kernels cast
+            # queries to the bucket dtype (unit-norm f32 floors to 0 in
+            # int8) and carry no per-row scales
+            if self.layout_mode == "bucketized":
+                logger.warning("ivf_layout='bucketized' unsupported for "
+                               "quantized stores; using gather")
+            return True
+        if self.layout_mode == "gather" and self.metric == "euclidean":
+            logger.warning("ivf_layout='gather' is cosine/dot only; "
+                           "using bucketized")
+            return False
+        return self.layout_mode == "gather"
 
     def _ensure_device(self, db, sqnorms) -> None:
         if self._dev is not None and self._dev_rows == self._n:

@@ -626,7 +626,10 @@ class TPUVectorStore:
                 n_clusters=p.get("n_clusters"),
                 nprobe=p.get("nprobe", 32),
                 bucket_rows=p.get("bucket_rows"),
-                train_iters=p.get("train_iters", 10))
+                train_iters=p.get("train_iters", 10),
+                # 'gather' keeps the full bf16 row ceiling (no bucket
+                # copy); quantized stores gather regardless
+                layout=p.get("ivf_layout", "auto"))
         from tpu_vector_db.index.beam_graph import BeamGraphIndex
         return BeamGraphIndex(
             dim=self.config.dimension, metric=self.metric,
