@@ -471,9 +471,35 @@ def _quant_ivf_row():
     return row
 
 
+def _backend_alive(timeout_s: int = 180) -> bool:
+    """Probe the device in a SUBPROCESS with a hard timeout: when the
+    axon tunnel is down, backend init HANGS for ~30 min rather than
+    raising — a try/except in-process cannot degrade gracefully. A
+    healthy (even cold) tunnel answers a tiny matmul well inside the
+    timeout; only an already-dead tunnel gets its probe killed."""
+    import subprocess
+    code = ("import jax, jax.numpy as jnp;"
+            "jax.block_until_ready(jnp.ones((8,8)) @ jnp.ones((8,8)));"
+            "print(jax.default_backend())")
+    try:
+        out = subprocess.run([sys.executable, "-c", code],
+                             capture_output=True, timeout=timeout_s,
+                             text=True)
+        return out.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main() -> None:
     global ON_TPU
-    ON_TPU = jax.default_backend() == "tpu"
+    if os.environ.get("VDB_FORCE_CPU") or _backend_alive():
+        ON_TPU = jax.default_backend() == "tpu"
+    else:
+        # the tunnel goes down for hours at a time; a dead backend must
+        # degrade to a flagged CPU run, not a 30-minute hang + crash
+        _log("TPU backend unresponsive; CPU fallback")
+        jax.config.update("jax_platforms", "cpu")
+        ON_TPU = False
     suite = []
 
     def run(name, fn):
