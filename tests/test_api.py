@@ -504,3 +504,69 @@ def test_capacity_dtype_store_via_rest(client_factory, rng):
                 "index_type": "hnsw"})
             assert r.status == 400, await r.text()
     run(go())
+
+
+def test_lazy_add_infers_dimension(client_factory, rng):
+    """POST /vectors/add to a nonexistent store must lazily create it at
+    the PAYLOAD's dimension — creating at the 384 default failed the add
+    on dimension mismatch while leaving a phantom store that turned later
+    /admin/create_store into a 409 (review finding)."""
+    async def go():
+        async with client_factory() as client:
+            vecs = rng.standard_normal((5, 64)).astype("float32")
+            r = await client.post("/vectors/add", headers=AUTH, json={
+                "user_id": "lazy", "model_id": "m64",
+                "vectors": vecs.tolist(),
+                "metadata": [{} for _ in range(5)]})
+            assert r.status == 200, await r.text()
+            r = await client.get("/vectors/stats",
+                                 params={"user_id": "lazy",
+                                         "model_id": "m64"},
+                                 headers=AUTH)
+            stats = await r.json()
+            assert stats["dimension"] == 64
+            r = await client.post("/vectors/query", headers=AUTH, json={
+                "user_id": "lazy", "model_id": "m64",
+                "query": vecs[2].tolist(), "k": 1})
+            assert (await r.json())["results"][0]["index"] == 2
+    run(go())
+
+
+def test_webhook_url_validation():
+    """SSRF guard: callback_url must be http(s) and must not resolve to
+    private/loopback/link-local space (review finding)."""
+    import pytest as _pytest
+    from aiohttp import web as _web
+
+    from tpu_vector_db.api.routes.batch import validate_callback_url
+
+    for bad in ("ftp://example.com/x", "http://127.0.0.1/steal",
+                "http://localhost:8000/admin", "http://169.254.169.254/t",
+                "http://10.0.0.1/x", "not-a-url"):
+        with _pytest.raises(_web.HTTPBadRequest):
+            validate_callback_url(bad)
+    import os
+    os.environ["VECTOR_DB_WEBHOOK_ALLOW_PRIVATE"] = "1"
+    try:
+        validate_callback_url("http://127.0.0.1:9/ok")  # explicit opt-in
+    finally:
+        del os.environ["VECTOR_DB_WEBHOOK_ALLOW_PRIVATE"]
+
+
+def test_health_checker_caches_device_probe():
+    """/health is unauthenticated: the device probe must be TTL-cached so
+    a request loop cannot saturate the accelerator (review finding)."""
+    from tpu_vector_db.monitoring.health import HealthChecker
+
+    hc = HealthChecker(cache_ttl_s=60.0)
+    calls = {"n": 0}
+
+    def probe():
+        calls["n"] += 1
+        return {"healthy": True}
+
+    hc.register("probe", probe)
+    hc.run_all()
+    hc.run_all()
+    hc.run_all()
+    assert calls["n"] == 1

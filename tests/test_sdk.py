@@ -133,3 +133,38 @@ def test_sdk_retry_skips_4xx(server_factory):
         finally:
             await server.close()
     asyncio.run(go())
+
+
+def test_sync_client_multi_call(server_factory, rng):
+    """The sync facade must survive MULTIPLE calls: the old
+    asyncio.run()-per-call implementation reused the httpx keepalive pool
+    across event loops, so the second call picked a connection bound to a
+    closed loop and raised 'Event loop is closed' (review finding). The
+    facade now owns one background loop for its lifetime."""
+    import threading
+
+    from tpu_vector_db.sdk.client import create_client
+
+    loop = asyncio.new_event_loop()
+    t = threading.Thread(target=loop.run_forever, daemon=True)
+    t.start()
+    server = server_factory()
+    asyncio.run_coroutine_threadsafe(server.start_server(), loop).result()
+    try:
+        with create_client(
+                base_url=str(server.make_url("/")).rstrip("/"),
+                api_key=API_KEY, admin_key=ADMIN_KEY, sync=True) as sync:
+            h1 = sync.health_check()
+            h2 = sync.health_check()          # old impl died here
+            assert h1["status"] and h2["status"]
+            sync.create_store("su", "sm", dimension=16)
+            vectors = rng.standard_normal((10, 16)).astype(np.float32)
+            out = sync.add_vectors("su", "sm", vectors)
+            assert out["added"] == 10
+            res = sync.query_vectors("su", "sm", vectors[4], k=1)
+            assert res[0].index == 4
+            assert sync.count_vectors("su", "sm") == 10
+    finally:
+        asyncio.run_coroutine_threadsafe(server.close(), loop).result()
+        loop.call_soon_threadsafe(loop.stop)
+        t.join(timeout=5)

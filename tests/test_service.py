@@ -120,6 +120,55 @@ class TestDegradation:
         assert mgr.feature_enabled("ann")
         assert mgr.feature_enabled("caching")
 
+    def test_error_rate_uses_recent_window_not_lifetime(self):
+        """A long healthy history must not mask a current error storm:
+        the rate divides the 60s error count by the 60s request estimate,
+        not the lifetime total (review finding)."""
+        mgr = GracefulDegradationManager(
+            memory_thresholds=(2.0, 2.0, 2.0),
+            error_rate_thresholds=(0.1, 0.5, 0.9))
+        for _ in range(10_000):           # long healthy lifetime
+            mgr._requests += 1            # simulate old traffic directly
+        for _ in range(10):
+            mgr.record_request(failed=True)
+        for _ in range(10):
+            mgr.record_request(failed=False)
+        # 10 errors / ~20 recent requests = 50% >> lifetime 10/10020
+        assert mgr.evaluate().value >= DegradationLevel.REDUCED.value
+
+    def test_level_recovers_when_errors_age_out(self, monkeypatch):
+        import time as _time
+        mgr = GracefulDegradationManager(
+            memory_thresholds=(2.0, 2.0, 2.0),
+            error_rate_thresholds=(0.1, 0.5, 0.9))
+        for _ in range(10):
+            mgr.record_request(failed=True)
+        assert mgr.evaluate().value >= DegradationLevel.REDUCED.value
+        real = _time.time
+        monkeypatch.setattr(_time, "time", lambda: real() + 70.0)
+        for _ in range(20):
+            mgr.record_request(failed=False)
+        assert mgr.evaluate() == DegradationLevel.NORMAL
+
+    def test_per_tenant_breaker_isolation(self, tmp_path):
+        """One tenant's failing store must not open every tenant's
+        breaker (review finding)."""
+        h = ErrorHandler(error_log_dir=tmp_path)
+        bad = h.breaker("vector_query:a/m")
+        good = h.breaker("vector_query:b/m")
+
+        def boom():
+            raise OSError("corrupt store")
+
+        for _ in range(10):
+            try:
+                bad.call(boom)
+            except Exception:  # noqa: BLE001
+                pass
+        assert bad.state.value == "open"
+        assert good.state.value == "closed"
+        assert good.call(lambda: 42) == 42
+
 
 class TestErrorHandler:
     def test_context_classifies_and_records(self, tmp_path):
@@ -149,6 +198,9 @@ class TestErrorHandler:
         assert classify_exception(MemoryError())[0] == ErrorCategory.MEMORY
         assert classify_exception(OSError())[0] == ErrorCategory.STORAGE
         assert classify_exception(TypeError())[0] == ErrorCategory.VALIDATION
+        # TimeoutError IS an OSError subclass: must classify as TIMEOUT,
+        # not STORAGE (review finding)
+        assert classify_exception(TimeoutError())[0] == ErrorCategory.TIMEOUT
         exc = RuntimeError("RESOURCE_EXHAUSTED: out of memory on device")
         assert classify_exception(exc)[0] == ErrorCategory.MEMORY
         ctx = ErrorContext.from_exception(ValueError("x"), "op", "u", "m")

@@ -60,6 +60,12 @@ async def request_tracking_middleware(request: web.Request, handler):
     finally:
         dt = time.perf_counter() - t0
         record_request(dt, error=status >= 500)
+        # feed the degradation manager from the REAL serving path (it was
+        # previously only told about failures, so its level could never
+        # change — review finding); evaluate is throttled to 1/s
+        deg = get_error_handler().degradation
+        deg.record_request(failed=status >= 500)
+        deg.maybe_evaluate()
         request.app["request_stats"].record(dt)
         if response is not None and not response.prepared:
             response.headers["X-Request-ID"] = req_id
@@ -121,7 +127,8 @@ async def error_middleware(request: web.Request, handler):
             status=404)
     except Exception:  # noqa: BLE001 — last-resort boundary
         logger.exception("unhandled error on %s", request.path)
-        get_error_handler().degradation.record_request(failed=True)
+        # (degradation accounting happens once, in the outer tracking
+        # middleware, off the response status)
         return web.json_response(
             {"error": "internal server error", "code": 500,
              "timestamp": time.time()},

@@ -24,6 +24,11 @@ def main(argv: list[str] | None = None) -> None:
     argv = argv if argv is not None else sys.argv[1:]
     mode = argv[0] if argv else os.environ.get("ENVIRONMENT", "development")
     os.environ["ENVIRONMENT"] = mode
+    # the module-level auth config was built at import time, BEFORE the
+    # argv mode landed in ENVIRONMENT — rebuild it so production REQUIRES
+    # VECTOR_DB_API_KEY/ADMIN_KEY instead of generating dev keys
+    from tpu_vector_db.security.auth import reload_auth
+    reload_auth()
     setup_logging(handler="json" if mode == "production" else None)
 
     host = os.environ.get("HOST", "127.0.0.1" if mode == "development"

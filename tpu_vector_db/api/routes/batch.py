@@ -93,6 +93,17 @@ class BatchOperationManager:
     def __init__(self) -> None:
         self._ops: dict[str, BatchOperation] = {}
         self._lock = asyncio.Lock()
+        # STRONG refs to fire-and-forget tasks: the event loop keeps only
+        # weak references, so an unreferenced running ingest/webhook task
+        # can be garbage-collected mid-execution, leaving the operation
+        # 'running' forever (review finding / CPython asyncio docs)
+        self._tasks: set[asyncio.Task] = set()
+
+    def spawn(self, coro) -> asyncio.Task:
+        task = asyncio.create_task(coro)
+        self._tasks.add(task)
+        task.add_done_callback(self._tasks.discard)
+        return task
 
     async def create(self, **kwargs) -> BatchOperation:
         op = BatchOperation(op_id=uuid.uuid4().hex[:16], **kwargs)
@@ -121,7 +132,7 @@ class BatchOperationManager:
         op.finished_at = time.time()
         op.notify()
         if op.callback_url:
-            asyncio.create_task(self._fire_webhook(op))
+            self.spawn(self._fire_webhook(op))
 
     async def _fire_webhook(self, op: BatchOperation,
                             attempts: int = 3) -> None:
@@ -147,6 +158,38 @@ class BatchOperationManager:
 
 def get_op_manager(app: web.Application) -> BatchOperationManager:
     return app["batch_ops"]  # registered by create_app
+
+
+def validate_callback_url(url: str) -> None:
+    """Reject SSRF-able webhook targets: the server POSTs the completion
+    payload to this URL from its own network position, so any API-key
+    holder could otherwise aim it at link-local metadata services or
+    internal endpoints (review finding). http(s) only; hosts resolving to
+    private/loopback/link-local ranges 400 unless
+    VECTOR_DB_WEBHOOK_ALLOW_PRIVATE=1 (dev/webhook-to-self setups)."""
+    import ipaddress
+    import os
+    import socket
+    from urllib.parse import urlparse
+
+    p = urlparse(url)
+    if p.scheme not in ("http", "https") or not p.hostname:
+        raise web.HTTPBadRequest(reason="callback_url must be http(s)")
+    if os.environ.get("VECTOR_DB_WEBHOOK_ALLOW_PRIVATE", "0") == "1":
+        return
+    try:
+        infos = socket.getaddrinfo(p.hostname, None)
+    except OSError:
+        raise web.HTTPBadRequest(
+            reason="callback_url host does not resolve")
+    for info in infos:
+        ip = ipaddress.ip_address(str(info[4][0]).split("%")[0])
+        if (ip.is_private or ip.is_loopback or ip.is_link_local
+                or ip.is_reserved or ip.is_multicast or ip.is_unspecified):
+            raise web.HTTPBadRequest(
+                reason="callback_url resolves to a private/internal "
+                       "address (set VECTOR_DB_WEBHOOK_ALLOW_PRIVATE=1 "
+                       "to allow)")
 
 
 # ------------------------------------------------------------------ models
@@ -222,11 +265,13 @@ async def _run_chunked_add(app: web.Application, op: BatchOperation,
 @require_api_key
 async def batch_add(request: web.Request) -> web.Response:
     body = await parse_model(request, BatchAddRequest)
+    if body.callback_url:
+        validate_callback_url(body.callback_url)
     vectors = np.asarray(body.vectors, np.float32)
     op = await get_op_manager(request.app).create(
         kind="batch_add", user_id=body.user_id, model_id=body.model_id,
         total_items=len(vectors), callback_url=body.callback_url)
-    asyncio.create_task(_run_chunked_add(
+    get_op_manager(request.app).spawn(_run_chunked_add(
         request.app, op, vectors, body.metadata, body.chunk_size))
     return web.json_response(
         {"op_id": op.op_id, "status": op.status.value,
@@ -338,7 +383,7 @@ async def bulk_upload(request: web.Request) -> web.Response:
     op = await get_op_manager(request.app).create(
         kind="bulk_upload", user_id=user_id, model_id=model_id,
         total_items=len(vectors))
-    asyncio.create_task(_run_chunked_add(
+    get_op_manager(request.app).spawn(_run_chunked_add(
         request.app, op, vectors, metadata, DEFAULT_CHUNK))
     return web.json_response(
         {"op_id": op.op_id, "rows": int(vectors.shape[0]),

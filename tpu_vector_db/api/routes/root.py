@@ -44,7 +44,13 @@ async def banner(request: web.Request) -> web.Response:
 
 
 async def health(request: web.Request) -> web.Response:
-    checks = request.app["health_checker"].run_all()
+    import asyncio
+    # the device check blocks on the accelerator — keep it off the event
+    # loop (the TTL cache inside run_all bounds how often it runs at all)
+    loop = asyncio.get_running_loop()
+    checks = await loop.run_in_executor(
+        request.app["manager"].executor,
+        request.app["health_checker"].run_all)
     stats = request.app["manager"].get_stats()
     handler_health = get_error_handler().health_check()
     body = {
@@ -138,23 +144,35 @@ async def debug_profile(request: web.Request) -> web.Response:
         payload = {}
     trace_dir = payload.get("trace_dir", "/tmp/vdb_trace")
     duration_s = min(float(payload.get("duration_ms", 500)), 10_000) / 1e3
-    x = jnp.ones((1024, 1024))
-    with jax.profiler.trace(trace_dir):
-        deadline = time.time() + duration_s
-        while time.time() < deadline:
-            x = x @ x * 1e-3
-        jax.block_until_ready(x)
+
+    def _trace():  # device-blocking: run on a worker, not the event loop
+        x = jnp.ones((1024, 1024))
+        with jax.profiler.trace(trace_dir):
+            deadline = time.time() + duration_s
+            while time.time() < deadline:
+                x = x @ x * 1e-3
+            jax.block_until_ready(x)
+
+    import asyncio
+    await asyncio.get_running_loop().run_in_executor(
+        request.app["manager"].executor, _trace)
     return web.json_response({"trace_dir": trace_dir,
                               "duration_s": duration_s,
                               "view": "tensorboard --logdir <trace_dir>"})
 
 
 async def debug_device(request: web.Request) -> web.Response:
+    import asyncio
     import jax
     import jax.numpy as jnp
     t0 = time.perf_counter()
-    x = jnp.ones((256, 256))
-    jax.block_until_ready(x @ x)
+
+    def _probe():
+        x = jnp.ones((256, 256))
+        jax.block_until_ready(x @ x)
+
+    await asyncio.get_running_loop().run_in_executor(
+        request.app["manager"].executor, _probe)
     return web.json_response({
         "backend": jax.default_backend(),
         "devices": [str(d) for d in jax.devices()],

@@ -14,9 +14,16 @@ from typing import Callable
 
 
 class HealthChecker:
-    def __init__(self) -> None:
+    def __init__(self, cache_ttl_s: float = 5.0) -> None:
         self._checks: dict[str, Callable[[], dict]] = {}
         self._lock = threading.Lock()
+        # /health is unauthenticated and the device check blocks on the
+        # accelerator (~30ms dispatch RTT behind a tunnel): a TTL cache
+        # bounds the probe rate so a curl loop cannot turn health checks
+        # into a device-saturating DoS (review finding)
+        self._cache_ttl = cache_ttl_s
+        self._cached: dict | None = None
+        self._cached_at = 0.0
         self.register("device", self._check_device)
         self.register("disk", self._check_disk)
         self.register("memory", self._check_memory)
@@ -66,7 +73,11 @@ class HealthChecker:
     # --------------------------------------------------------------- rollup
 
     def run_all(self) -> dict:
+        now = time.time()
         with self._lock:
+            if (self._cached is not None
+                    and now - self._cached_at < self._cache_ttl):
+                return self._cached
             checks = dict(self._checks)
         results = {}
         for name, fn in checks.items():
@@ -78,5 +89,9 @@ class HealthChecker:
         total = len(results)
         status = ("healthy" if healthy == total else
                   "degraded" if healthy >= total - 1 else "unhealthy")
-        return {"status": status, "checks": results,
-                "timestamp": time.time()}
+        out = {"status": status, "checks": results,
+               "timestamp": time.time()}
+        with self._lock:
+            self._cached = out
+            self._cached_at = now
+        return out

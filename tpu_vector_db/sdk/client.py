@@ -71,32 +71,45 @@ class ClientStats:
         }
 
 
-def with_retry(fn):
+def with_retry(fn=None, *, idempotent: bool = True):
     """Exponential backoff with jitter; 4xx responses never retry
-    (parity with reference :160-205)."""
-    @functools.wraps(fn)
-    async def wrapper(self: "VectorDBClient", *args, **kwargs):
-        cfg = self.config
-        delay = cfg.retry_base_delay_s
-        last: Exception | None = None
-        for attempt in range(cfg.retry_attempts):
-            try:
-                return await fn(self, *args, **kwargs)
-            except httpx.HTTPStatusError as exc:
-                if exc.response.status_code < 500:
-                    raise
-                last = exc
-            except (httpx.TransportError, httpx.TimeoutException) as exc:
-                last = exc
-            if attempt < cfg.retry_attempts - 1:
-                self._stats.retries += 1
-                sleep = min(delay, cfg.retry_max_delay_s)
-                sleep *= 1.0 + random.uniform(-0.2, 0.2)
-                await asyncio.sleep(max(sleep, 0.0))
-                delay *= 2
-        self._stats.errors += 1
-        raise last  # type: ignore[misc]
-    return wrapper
+    (parity with reference :160-205). Use ``@with_retry(idempotent=False)``
+    for WRITES: a read-timeout after the server committed the add would
+    otherwise re-send and silently duplicate vectors (review finding) —
+    non-idempotent calls only retry failures that happened before the
+    request could reach the server (connect errors)."""
+    def deco(fn, idempotent=idempotent):
+        @functools.wraps(fn)
+        async def wrapper(self: "VectorDBClient", *args, **kwargs):
+            cfg = self.config
+            delay = cfg.retry_base_delay_s
+            last: Exception | None = None
+            for attempt in range(cfg.retry_attempts):
+                try:
+                    return await fn(self, *args, **kwargs)
+                except httpx.HTTPStatusError as exc:
+                    if exc.response.status_code < 500:
+                        raise
+                    last = exc
+                except (httpx.ConnectError, httpx.ConnectTimeout) as exc:
+                    last = exc  # request never reached the server
+                except (httpx.TransportError, httpx.TimeoutException) as exc:
+                    if not idempotent:
+                        self._stats.errors += 1
+                        raise  # the write may have committed server-side
+                    last = exc
+                if attempt < cfg.retry_attempts - 1:
+                    self._stats.retries += 1
+                    sleep = min(delay, cfg.retry_max_delay_s)
+                    sleep *= 1.0 + random.uniform(-0.2, 0.2)
+                    await asyncio.sleep(max(sleep, 0.0))
+                    delay *= 2
+            self._stats.errors += 1
+            raise last  # type: ignore[misc]
+        return wrapper
+    if fn is not None:        # bare @with_retry form
+        return deco(fn)
+    return deco               # @with_retry(idempotent=False) form
 
 
 def _to_float_lists(vectors) -> list[list[float]]:
@@ -211,7 +224,7 @@ class VectorDBClient:
 
     # ------------------------------------------------------------ vector ops
 
-    @with_retry
+    @with_retry(idempotent=False)
     async def add_vectors(self, user_id: str, model_id: str, vectors,
                           metadata: list[dict] | None = None) -> dict:
         return await self._request("POST", "/vectors/add", json={
@@ -367,13 +380,26 @@ class StoreContext:
 
 class SyncVectorDBClient:
     """Blocking facade over the async client (the reference shipped a
-    separate simpler sync-ish client; one loop-backed wrapper covers it)."""
+    separate simpler sync-ish client; one loop-backed wrapper covers it).
+
+    Every call runs on ONE dedicated background event loop: a fresh
+    asyncio.run() per call (the old implementation) reused the httpx
+    client's keepalive pool across loops, so the second call picked a
+    connection bound to the first (closed) loop and died with
+    'Event loop is closed' (review finding)."""
 
     def __init__(self, config: ClientConfig | None = None, **kwargs) -> None:
+        import threading
         self._async = VectorDBClient(config, **kwargs)
+        self._loop = asyncio.new_event_loop()
+        self._thread = threading.Thread(
+            target=self._loop.run_forever, daemon=True,
+            name="vdb-sync-client")
+        self._thread.start()
 
     def _run(self, coro):
-        return asyncio.run(coro)
+        fut = asyncio.run_coroutine_threadsafe(coro, self._loop)
+        return fut.result()
 
     def __getattr__(self, name):
         target = getattr(self._async, name)
@@ -385,7 +411,18 @@ class SyncVectorDBClient:
         return target
 
     def close(self) -> None:
+        if self._loop.is_closed():
+            return
         self._run(self._async.close())
+        self._loop.call_soon_threadsafe(self._loop.stop)
+        self._thread.join(timeout=5)
+        self._loop.close()
+
+    def __enter__(self) -> "SyncVectorDBClient":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
 
 
 def create_client(base_url: str = "http://localhost:8000",

@@ -75,6 +75,20 @@ class AuthConfig:
 auth_config = AuthConfig.from_env()
 
 
+def reload_auth() -> AuthConfig:
+    """Rebuild the module auth config from the CURRENT environment.
+
+    The import-time build above runs before a ``python -m tpu_vector_db
+    production`` entrypoint has set ENVIRONMENT, which would silently run
+    a production server on auto-generated dev keys (review finding) —
+    api/main.py calls this after resolving the mode so the
+    must-set-keys-in-production guard actually fires. Every consumer
+    reads the module global at call time, so rebinding is sufficient."""
+    global auth_config
+    auth_config = AuthConfig.from_env()
+    return auth_config
+
+
 def _extract_bearer(header_value: str | None) -> str | None:
     if not header_value:
         return None

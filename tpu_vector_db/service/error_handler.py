@@ -47,6 +47,19 @@ class ErrorHandler:
         }
         self._shutdown_installed = False
 
+    def breaker(self, name: str) -> CircuitBreaker:
+        """Get-or-create a named breaker. The serving path keys breakers
+        PER TENANT (e.g. 'vector_query:user/model') — with one shared
+        breaker, a single tenant's corrupt store opening the circuit
+        would 503 every other tenant's queries for the full recovery
+        window, renewably (review finding). One small object per active
+        tenant; stats aggregate over all of them."""
+        with self._lock:
+            b = self.breakers.get(name)
+            if b is None:
+                b = self.breakers[name] = CircuitBreaker(name)
+            return b
+
     # ------------------------------------------------------------ recording
 
     @contextlib.contextmanager

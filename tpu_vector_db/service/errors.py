@@ -111,12 +111,15 @@ def classify_exception(exc: Exception) -> tuple[ErrorCategory, ErrorSeverity]:
         return exc.category, exc.severity
     if isinstance(exc, MemoryError):
         return ErrorCategory.MEMORY, ErrorSeverity.HIGH
+    # TimeoutError IS an OSError subclass (py3.3+): it must be tested
+    # BEFORE the storage branch or timeouts classify as STORAGE/HIGH and
+    # trigger the disk-space 'recovery' probe (review finding)
+    if isinstance(exc, TimeoutError):
+        return ErrorCategory.TIMEOUT, ErrorSeverity.MEDIUM
     if isinstance(exc, (OSError, IOError)):
         return ErrorCategory.STORAGE, ErrorSeverity.HIGH
     if isinstance(exc, (ValueError, TypeError)):
         return ErrorCategory.VALIDATION, ErrorSeverity.LOW
-    if isinstance(exc, TimeoutError):
-        return ErrorCategory.TIMEOUT, ErrorSeverity.MEDIUM
     text = str(exc).lower()
     if "resource_exhausted" in text or "out of memory" in text or "hbm" in text:
         return ErrorCategory.MEMORY, ErrorSeverity.HIGH

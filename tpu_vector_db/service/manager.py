@@ -202,9 +202,26 @@ class VectorStoreManager:
 
     async def add_vectors_async(self, user_id: str, model_id: str,
                                 vectors, metadata=None) -> dict:
-        store = self.get_store(user_id, model_id)
+        # lazy creation infers the dimension from the payload (parity with
+        # the batch route): creating with the 384-dim default would fail
+        # the add on dimension mismatch while leaving a phantom store
+        # registered, turning later /admin/create_store into a 409
+        # (review finding)
+        config = None
+        if not self.store_exists(user_id, model_id):
+            try:
+                import numpy as np
+                arr = np.asarray(vectors, dtype=np.float32)
+                if arr.ndim == 2 and arr.shape[1] > 0:
+                    config = VectorStoreConfig(dimension=int(arr.shape[1]))
+            except (ValueError, TypeError):
+                pass  # malformed payload: let add_vectors raise its 400
+        store = self.get_store(user_id, model_id, config)
         loop = asyncio.get_running_loop()
-        breaker = self.errors.breakers["vector_add"]
+        # per-tenant breaker: one tenant's failing store must not trip
+        # every tenant (error_handler.breaker docstring)
+        breaker = self.errors.breaker(
+            f"vector_add:{user_id}/{model_id}")
         return await loop.run_in_executor(
             self.executor,
             lambda: breaker.call(store.add_vectors, vectors, metadata))
@@ -214,7 +231,8 @@ class VectorStoreManager:
                           use_ann: bool = True):
         store = self.get_store(user_id, model_id, create=False)
         loop = asyncio.get_running_loop()
-        breaker = self.errors.breakers["vector_query"]
+        breaker = self.errors.breaker(
+            f"vector_query:{user_id}/{model_id}")
         return await loop.run_in_executor(
             self.executor,
             lambda: breaker.call(store.query, query_vector, k,
@@ -225,7 +243,8 @@ class VectorStoreManager:
                                 filter_metadata=None, use_ann: bool = True):
         store = self.get_store(user_id, model_id, create=False)
         loop = asyncio.get_running_loop()
-        breaker = self.errors.breakers["vector_query"]
+        breaker = self.errors.breaker(
+            f"vector_query:{user_id}/{model_id}")
         return await loop.run_in_executor(
             self.executor,
             lambda: breaker.call(store.batch_query, query_vectors, k,

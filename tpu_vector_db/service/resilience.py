@@ -197,14 +197,46 @@ class GracefulDegradationManager:
         self._level = DegradationLevel.NORMAL
         self._errors: list[float] = []
         self._requests = 0
+        # windowed request counting for the error RATE: dividing the 60s
+        # error count by the lifetime total (the old code) understates the
+        # rate forever after a healthy warmup — and if only failures were
+        # recorded it pinned the rate at ~100% (review finding). Two
+        # rotating 60s buckets approximate a sliding request window
+        # without storing per-request timestamps.
+        self._win_start = time.time()
+        self._win_req = 0
+        self._prev_req = 0
+        self._last_eval = 0.0
 
     def record_request(self, failed: bool) -> None:
+        now = time.time()
         with self._lock:
             self._requests += 1
+            age = now - self._win_start
+            if age >= 60.0:
+                self._prev_req = self._win_req if age < 120.0 else 0
+                self._win_start = now
+                self._win_req = 0
+            self._win_req += 1
             if failed:
-                self._errors.append(time.time())
-            cutoff = time.time() - 60.0
+                self._errors.append(now)
+            cutoff = now - 60.0
             self._errors = [t for t in self._errors if t >= cutoff]
+
+    def _recent_requests(self, now: float) -> float:
+        """Sliding-window request estimate over the last 60s."""
+        frac = min(max((now - self._win_start) / 60.0, 0.0), 1.0)
+        return self._win_req + self._prev_req * (1.0 - frac)
+
+    def maybe_evaluate(self, min_interval_s: float = 1.0) -> DegradationLevel:
+        """evaluate() at most once per interval — cheap enough for the
+        per-request serving path (evaluate reads psutil)."""
+        now = time.time()
+        with self._lock:
+            if now - self._last_eval < min_interval_s:
+                return self._level
+            self._last_eval = now
+        return self.evaluate()
 
     def _memory_fraction(self) -> float:
         try:
@@ -215,9 +247,10 @@ class GracefulDegradationManager:
 
     def evaluate(self) -> DegradationLevel:
         mem = self._memory_fraction()
+        now = time.time()
         with self._lock:
-            err_rate = (len(self._errors) / max(self._requests, 1)
-                        if self._requests else 0.0)
+            recent = self._recent_requests(now)
+            err_rate = (len(self._errors) / recent) if recent >= 1 else 0.0
             level = DegradationLevel.NORMAL
             for i, (m, e) in enumerate(zip(self._mem, self._err), start=1):
                 if mem >= m or err_rate >= e:
