@@ -184,3 +184,43 @@ def test_rust_golden_if_available(tmp_path_factory):
     assert fast.native
     for t in TEXTS:
         assert fast.tokenize_ids(t) == tok.encode(t).ids, repr(t)
+    # added/special tokens embedded in text: HF matches them verbatim
+    # BEFORE normalization (review finding) — id-for-id vs Rust
+    for t in ["the fox </s> more text", "<s>leading", "a<pad>b",
+              "the quick <unk> dog", "</s>"]:
+        assert fast.tokenize_ids(t) == tok.encode(t).ids, repr(t)
+
+
+@needs_native
+class TestReviewRegressions:
+    def test_seq_len_guard(self, pair):
+        fast, _ = pair
+        for bad in (0, 1):
+            with pytest.raises(ValueError, match="seq_len"):
+                fast.encode_batch(["the fox"], bad)
+
+    def test_added_token_in_text_emits_single_id(self, tmp_path):
+        """Added/special tokens embedded in text must emit their id, not
+        per-character pieces (HF AddedVocabulary semantics — review
+        finding); the native path routes such texts to Python."""
+        spec_path = make_json(
+            tmp_path, {"type": "Sequence", "pretokenizers": [METASPACE]})
+        spec = json.loads(spec_path.read_text())
+        spec["added_tokens"] = [
+            {"content": "<mask>", "id": 999},
+            {"content": "</s>", "id": 2},
+        ]
+        spec_path.write_text(json.dumps(spec), encoding="utf-8")
+        fast = FastUnigramTokenizer(spec_path)
+        slow = UnigramTokenizer(spec_path)
+        for tok in (fast, slow):
+            ids = tok.tokenize_ids("the quick <mask> fox")
+            assert ids.count(999) == 1, (tok.__class__.__name__, ids)
+            assert tok.tokenize_ids("<mask>") == [999]
+            two = tok.tokenize_ids("a<mask>b<mask>")
+            assert two.count(999) == 2
+        assert fast.tokenize_ids("the quick <mask> fox") == \
+            slow.tokenize_ids("the quick <mask> fox")
+        # decode maps the added id back to its content
+        assert "<mask>" in slow.decode([999, slow.vocab.get("▁the", 4)],
+                                       skip_special=False)

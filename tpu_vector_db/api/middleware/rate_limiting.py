@@ -347,16 +347,15 @@ def classify_tier(authorization: str | None) -> UserTier:
     VECTOR_DB_API_TIER), additional keys map through VECTOR_DB_TIER_KEYS,
     and everything else — including unauthenticated traffic — is FREE."""
     import os
-    import secrets as _secrets
-
-    from tpu_vector_db.security.auth import _extract_bearer, auth_config
+    from tpu_vector_db.security.auth import (_extract_bearer, auth_config,
+                                             ct_equal)
 
     token = _extract_bearer(authorization)
     if not token:
         return UserTier.FREE
-    if _secrets.compare_digest(token, auth_config.admin_key):
+    if ct_equal(token, auth_config.admin_key):
         return UserTier.ENTERPRISE
-    if _secrets.compare_digest(token, auth_config.api_key):
+    if ct_equal(token, auth_config.api_key):
         try:
             return UserTier(os.environ.get("VECTOR_DB_API_TIER",
                                            "premium").lower())
@@ -366,6 +365,6 @@ def classify_tier(authorization: str | None) -> UserTier:
     if _tier_map is None:
         _tier_map = _load_tier_map()
     for key, tier in _tier_map.items():
-        if _secrets.compare_digest(token, key):
+        if ct_equal(token, key):
             return tier
     return UserTier.FREE

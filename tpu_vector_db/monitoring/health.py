@@ -41,7 +41,10 @@ class HealthChecker:
             import jax.numpy as jnp
             t0 = time.perf_counter()
             x = jnp.ones((8, 8))
-            jax.block_until_ready(x @ x)
+            # float() forces a real device->host round trip:
+            # block_until_ready under-reports on the axon backend
+            # (CLAUDE.md), so a wedged tunnel could still look healthy
+            assert float((x @ x).sum()) == 512.0
             return {"healthy": True,
                     "backend": jax.default_backend(),
                     "device_count": jax.device_count(),

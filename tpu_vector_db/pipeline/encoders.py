@@ -214,6 +214,13 @@ class HashingEncoder(BaseEncoder):
     jitted; zero external weights. Semantics: real lexical overlap ->
     similar embeddings, which is enough for pipeline/RAG plumbing and CI."""
 
+    # cap _encode batches at the largest bucket: without it, a 200-text
+    # batch pads by a NEGATIVE count (no-op), hands the jit an unbucketed
+    # (200, seq) shape, and every distinct oversize batch costs a fresh
+    # multi-minute axon device compile (review finding; the transformer
+    # encoders already set this)
+    _max_batch = BATCH_BUCKETS[-1]
+
     def __init__(self, config: EncoderConfig, seed: int = 0) -> None:
         super().__init__(config)
         self._seed = seed
@@ -463,6 +470,21 @@ class BertEncoder(BaseEncoder):
 
         self._forward = forward
         self._loaded = True
+        # clamp the tokenizer max_length to the checkpoint's position
+        # table: XLA gather CLAMPS out-of-range position ids instead of
+        # erroring, so tokens past the table would silently share the
+        # last position embedding (review finding). RoBERTa positions
+        # start at pad_id+1, costing 2 extra slots.
+        pos_budget = self._arch_cfg.max_position_embeddings
+        if getattr(self._arch_cfg, "model_type", "bert") in (
+                "roberta", "xlm-roberta", "mpnet"):
+            pos_budget -= 2  # positions start at pad_id+1 = 2
+        if self.config.max_sequence_length > pos_budget:
+            logger.warning(
+                "max_sequence_length %d exceeds the checkpoint's position "
+                "table (%d usable); clamping",
+                self.config.max_sequence_length, pos_budget)
+            self.config.max_sequence_length = pos_budget
         # the served dimension is the checkpoint's hidden size
         hidden_size = self._arch_cfg.hidden_size
         if self.config.dimension != hidden_size:

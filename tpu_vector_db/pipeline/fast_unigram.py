@@ -29,21 +29,13 @@ from __future__ import annotations
 import ctypes
 import logging
 import re
-import subprocess
-import threading
-from pathlib import Path
 
 import numpy as np
 
+from tpu_vector_db.pipeline._native import NativeLib
 from tpu_vector_db.pipeline.unigram import UnigramTokenizer
 
 logger = logging.getLogger(__name__)
-
-_SRC = Path(__file__).resolve().parent.parent.parent / "native" / "unigram.cpp"
-_LIB = _SRC.with_name("libvdbuni.so")
-_lock = threading.Lock()
-_lib: ctypes.CDLL | None = None
-_tried = False
 
 # unicode whitespace outside the ASCII plane (chars where str.isspace() is
 # True but the native byte-level splitter won't split)
@@ -52,51 +44,31 @@ _EXOTIC_WS = re.compile("[\\x85\\xa0\\u1680\\u2000-\\u200a\\u2028\\u2029\\u202f\
 _PREPEND = {"never": 0, "always": 1, "first": 2}
 
 
-def _compile() -> bool:
-    base = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
-            str(_SRC), "-o", str(_LIB)]
-    for extra in (["-march=native"], []):
-        try:
-            subprocess.run(base[:2] + extra + base[2:], check=True,
-                           capture_output=True, timeout=120)
-            return True
-        except (subprocess.SubprocessError, FileNotFoundError) as exc:
-            last = exc
-    logger.warning("native unigram unavailable (%s)", last)
-    return False
+def _register(lib: ctypes.CDLL) -> None:
+    lib.un_create.restype = ctypes.c_void_p
+    lib.un_create.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_double), ctypes.c_char_p,
+        ctypes.c_int32, ctypes.c_double, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32]
+    lib.un_destroy.argtypes = [ctypes.c_void_p]
+    lib.un_tokenize.restype = ctypes.c_int32
+    lib.un_tokenize.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int32]
+    lib.un_encode_batch.restype = ctypes.c_int32
+    lib.un_encode_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
+
+
+_NATIVE = NativeLib("unigram.cpp", "libvdbuni.so", _register)
 
 
 def _load() -> ctypes.CDLL | None:
-    global _lib, _tried
-    with _lock:
-        if _lib is not None or _tried:
-            return _lib
-        _tried = True
-        if not _SRC.exists():
-            return None
-        if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
-            if not _compile():
-                return None
-        lib = ctypes.CDLL(str(_LIB))
-        lib.un_create.restype = ctypes.c_void_p
-        lib.un_create.argtypes = [
-            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32,
-            ctypes.POINTER(ctypes.c_double), ctypes.c_char_p,
-            ctypes.c_int32, ctypes.c_double, ctypes.c_int32, ctypes.c_int32,
-            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
-            ctypes.c_int32, ctypes.c_int32]
-        lib.un_destroy.argtypes = [ctypes.c_void_p]
-        lib.un_tokenize.restype = ctypes.c_int32
-        lib.un_tokenize.argtypes = [
-            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32]
-        lib.un_encode_batch.restype = ctypes.c_int32
-        lib.un_encode_batch.argtypes = [
-            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
-            ctypes.c_int32, ctypes.c_int32,
-            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
-        _lib = lib
-        return _lib
+    return _NATIVE.load()
 
 
 def native_available() -> bool:
@@ -187,8 +159,15 @@ class FastUnigramTokenizer(UnigramTokenizer):
             return False
         return True
 
+    def _has_added(self, raw: str) -> bool:
+        # embedded added/special tokens split the input BEFORE
+        # normalization (unigram.py tokenize_ids) — Python handles those;
+        # checked on the RAW text because normalizers may rewrite it
+        return self._added_re is not None and \
+            self._added_re.search(raw) is not None
+
     def tokenize_ids(self, text: str) -> list[int]:
-        if self._h is None:
+        if self._h is None or self._has_added(text):
             return super().tokenize_ids(text)
         norm = self.normalize(text)
         if not self._native_ok(norm):
@@ -204,7 +183,11 @@ class FastUnigramTokenizer(UnigramTokenizer):
         return out[:n].tolist()
 
     def encode_batch(self, texts: list[str], seq_len: int):
-        if self._h is None:
+        if seq_len < 2:
+            # the C++ writer would compute body = seq_len - 2 < 0 and
+            # write one int32 BEFORE the output buffer (review finding)
+            raise ValueError("seq_len must be >= 2 (<s> + </s> framing)")
+        if self._h is None or any(self._has_added(t) for t in texts):
             return super().encode_batch(texts, seq_len)
         norms = [self.normalize(t) for t in texts]
         if not all(self._native_ok(t) for t in norms):

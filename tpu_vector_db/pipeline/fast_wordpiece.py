@@ -18,66 +18,38 @@ from __future__ import annotations
 
 import ctypes
 import logging
-import subprocess
-import threading
-from pathlib import Path
 
 import numpy as np
 
+from tpu_vector_db.pipeline._native import NativeLib
 from tpu_vector_db.pipeline.wordpiece import (CLS, PAD, SEP, UNK,
                                               WordPieceTokenizer)
 
 logger = logging.getLogger(__name__)
 
-_SRC = Path(__file__).resolve().parent.parent.parent / "native" / "wordpiece.cpp"
-_LIB = _SRC.with_name("libvdbtok.so")
-_lock = threading.Lock()
-_lib: ctypes.CDLL | None = None
-_tried = False
+
+def _register(lib: ctypes.CDLL) -> None:
+    lib.wp_create.restype = ctypes.c_void_p
+    lib.wp_create.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32]
+    lib.wp_destroy.argtypes = [ctypes.c_void_p]
+    lib.wp_tokenize.restype = ctypes.c_int32
+    lib.wp_tokenize.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int32]
+    lib.wp_encode_batch.restype = ctypes.c_int32
+    lib.wp_encode_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
 
 
-def _compile() -> bool:
-    base = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
-            str(_SRC), "-o", str(_LIB)]
-    for extra in (["-march=native"], []):
-        try:
-            subprocess.run(base[:2] + extra + base[2:], check=True,
-                           capture_output=True, timeout=120)
-            return True
-        except (subprocess.SubprocessError, FileNotFoundError) as exc:
-            last = exc
-    logger.warning("native wordpiece unavailable (%s)", last)
-    return False
+_NATIVE = NativeLib("wordpiece.cpp", "libvdbtok.so", _register)
 
 
 def _load() -> ctypes.CDLL | None:
-    global _lib, _tried
-    with _lock:
-        if _lib is not None or _tried:
-            return _lib
-        _tried = True
-        if not _SRC.exists():
-            return None
-        if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
-            if not _compile():
-                return None
-        lib = ctypes.CDLL(str(_LIB))
-        lib.wp_create.restype = ctypes.c_void_p
-        lib.wp_create.argtypes = [
-            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
-            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32]
-        lib.wp_destroy.argtypes = [ctypes.c_void_p]
-        lib.wp_tokenize.restype = ctypes.c_int32
-        lib.wp_tokenize.argtypes = [
-            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32]
-        lib.wp_encode_batch.restype = ctypes.c_int32
-        lib.wp_encode_batch.argtypes = [
-            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
-            ctypes.c_int32, ctypes.c_int32,
-            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
-        _lib = lib
-        return _lib
+    return _NATIVE.load()
 
 
 def native_available() -> bool:
@@ -150,6 +122,10 @@ class FastWordPieceTokenizer(WordPieceTokenizer):
         return [self.cls_id] + ids + [self.sep_id]
 
     def encode_batch(self, texts: list[str], seq_len: int):
+        if seq_len < 2:
+            # the C++ writer would compute body = seq_len - 2 < 0 and
+            # write one int32 BEFORE the output buffer (review finding)
+            raise ValueError("seq_len must be >= 2 (CLS + SEP framing)")
         # NUL would corrupt the NUL-delimited blob protocol (silently
         # shifting every subsequent row) — route such batches to Python
         if self._h is None or not all(

@@ -220,6 +220,12 @@ class PipelineFactory:
         name = model_name or PipelineFactory.recommend_model(
             use_case, memory_budget_mb)
         encoder = create_encoder(name)
+        # resolve the TRUE dimension before sizing the store: hf:<dir>
+        # encoders rewrite config.dimension to the checkpoint's hidden
+        # size at load() — sizing from the pre-load default would make
+        # every subsequent add fail on dimension mismatch (review finding)
+        if not encoder._loaded:
+            encoder.load()
         store = TPUVectorStore(store_path, VectorStoreConfig(
             dimension=encoder.dimension, metric=metric,
             persist_mode="lazy"))

@@ -57,9 +57,25 @@ class UnigramTokenizer:
         self._max_piece_len = max((len(p) for p in self.vocab), default=1)
         self._normalizers = self._flatten(spec.get("normalizer"))
         self._pre_tokenizers = self._flatten(spec.get("pre_tokenizer"))
-        # added/special tokens are matched verbatim before normalization
+        # added/special tokens are matched verbatim BEFORE normalization
+        # (HF AddedVocabulary semantics): the input splits on them and
+        # each plain segment runs the normal pipeline independently
         self._added = {t["content"]: int(t["id"])
                        for t in spec.get("added_tokens", [])}
+        if self._added:
+            import re
+            self._added_re = re.compile("|".join(
+                re.escape(c) for c in
+                sorted(self._added, key=len, reverse=True)))
+        else:
+            self._added_re = None
+        for content, tid in self._added.items():
+            self.ids_to_tokens.setdefault(tid, content)
+        # the Metaspace marker decode() must strip is the CONFIGURED
+        # replacement, not the "▁" default (review finding)
+        self._metaspace_rep = next(
+            (p.get("replacement", METASPACE) for p in self._pre_tokenizers
+             if p.get("type") == "Metaspace"), METASPACE)
         # framing ids (XLM-R convention: <s> seq </s>); fall back to
         # whatever the vocab provides
         self.cls_id = self._lookup_first(["<s>", "[CLS]"])
@@ -214,7 +230,24 @@ class UnigramTokenizer:
     # ----------------------------------------------------------- encoding
 
     def tokenize_ids(self, text: str) -> list[int]:
-        """Normalize + pre-tokenize + per-word Viterbi; no framing."""
+        """Added-token split + normalize + pre-tokenize + per-word
+        Viterbi; no framing. Added/special tokens embedded in the text
+        emit their single id (HF parity — previously they were tokenized
+        as literal characters, review finding)."""
+        if self._added_re is None or not self._added_re.search(text):
+            return self._tokenize_plain(text)
+        out: list[int] = []
+        pos = 0
+        for m in self._added_re.finditer(text):
+            if m.start() > pos:
+                out.extend(self._tokenize_plain(text[pos: m.start()]))
+            out.append(self._added[m.group(0)])
+            pos = m.end()
+        if pos < len(text):
+            out.extend(self._tokenize_plain(text[pos:]))
+        return out
+
+    def _tokenize_plain(self, text: str) -> list[int]:
         out: list[int] = []
         for word in self.pre_tokenize(self.normalize(text)):
             out.extend(self._viterbi(word))
@@ -251,4 +284,4 @@ class UnigramTokenizer:
             else set()
         toks = [self.ids_to_tokens.get(int(i), "")
                 for i in ids if int(i) not in skip]
-        return "".join(toks).replace(METASPACE, " ").strip()
+        return "".join(toks).replace(self._metaspace_rep, " ").strip()

@@ -82,11 +82,29 @@ def reload_auth() -> AuthConfig:
     production`` entrypoint has set ENVIRONMENT, which would silently run
     a production server on auto-generated dev keys (review finding) —
     api/main.py calls this after resolving the mode so the
-    must-set-keys-in-production guard actually fires. Every consumer
-    reads the module global at call time, so rebinding is sufficient."""
-    global auth_config
-    auth_config = AuthConfig.from_env()
+    must-set-keys-in-production guard actually fires.
+
+    The refresh MUTATES the existing AuthConfig in place: several modules
+    bind ``auth_config`` via ``from ... import`` at import time (e.g.
+    api/app.py's dev-key startup banner), so rebinding the global alone
+    would leave them holding a stale object whose keys no longer
+    authenticate (review finding, verified by execution)."""
+    fresh = AuthConfig.from_env()
+    for f in ("api_key", "admin_key", "admin_accepts_api_key",
+              "dev_mode", "generated"):
+        setattr(auth_config, f, getattr(fresh, f))
     return auth_config
+
+
+def ct_equal(a: str, b: str) -> bool:
+    """Constant-time string equality tolerant of arbitrary input:
+    secrets.compare_digest raises TypeError on non-ASCII str (verified),
+    which would turn a 401 for a key like 'ké' into a 500 (review
+    finding). Comparing utf-8/surrogateescape bytes accepts anything
+    aiohttp's header decoding can produce."""
+    return secrets.compare_digest(
+        a.encode("utf-8", "surrogateescape"),
+        b.encode("utf-8", "surrogateescape"))
 
 
 def _extract_bearer(header_value: str | None) -> str | None:
@@ -139,7 +157,7 @@ def verify_jwt(token: str, secret: str | None = None) -> dict | None:
         signing_input = f"{header_b64}.{claims_b64}".encode()
         expected = _b64url(hmac.new(secret.encode(), signing_input,
                                     "sha256").digest()).decode()
-        if not hmac.compare_digest(expected, sig_b64):
+        if not ct_equal(expected, sig_b64):
             return None
         payload = json.loads(_b64url_decode(claims_b64))
         if payload.get("exp", float("inf")) < time.time():
@@ -157,8 +175,7 @@ def verify_api_key(authorization: str | None,
     token = _extract_bearer(authorization)
     if token is None:
         return False
-    return (secrets.compare_digest(token, cfg.api_key) or
-            secrets.compare_digest(token, cfg.admin_key))
+    return ct_equal(token, cfg.api_key) or ct_equal(token, cfg.admin_key)
 
 
 def verify_admin_key(authorization: str | None,
@@ -167,7 +184,6 @@ def verify_admin_key(authorization: str | None,
     token = _extract_bearer(authorization)
     if token is None:
         return False
-    if secrets.compare_digest(token, cfg.admin_key):
+    if ct_equal(token, cfg.admin_key):
         return True
-    return cfg.admin_accepts_api_key and secrets.compare_digest(
-        token, cfg.api_key)
+    return cfg.admin_accepts_api_key and ct_equal(token, cfg.api_key)
