@@ -322,3 +322,49 @@ class TestQuantizedStoreIVF:
         # filtered query through the ANN oversample path
         ids, scores, md = store.query(x[4], k=3, filter_metadata={"g": 0})
         assert md and all(m["g"] == 0 for m in md)
+
+
+class TestCoreReviewRegressions:
+    def test_clear_resets_recall_guard(self, tmp_path, rng):
+        """A latched low-recall verdict must not outlive clear(): the old
+        state silently routed the REPOPULATED store to the exact scan
+        until it doubled past the stale checkpoint (review finding)."""
+        d = 32
+        store = TPUVectorStore(
+            tmp_path / "guard",
+            VectorStoreConfig(dimension=d, metric="cosine",
+                              enable_ann=True,
+                              ann_params=dict(ANN_PARAMS)))
+        store.add_vectors(unit_rows(rng, 1500, d))
+        store._ann_low_recall = True          # simulate a tripped guard
+        store._ann_checked_at = 1500
+        store.clear()
+        assert store._ann_low_recall is False
+        assert store._ann_checked_at == 0
+        assert store._ann_recall_estimate is None
+
+    def test_single_chip_ivf_sidecar_not_loaded_by_sharded(self, tmp_path,
+                                                           rng):
+        """Reopening a single-chip store directory as a ShardedVectorStore
+        must build the SHARDED index, not load the single-chip ann_ivf.npz
+        (whose object lacks make_search_fn -> AttributeError per query,
+        review finding)."""
+        from tpu_vector_db.parallel.mesh import make_device_mesh
+        from tpu_vector_db.parallel.sharded_ivf import ShardedIVF
+        from tpu_vector_db.parallel.sharded_store import ShardedVectorStore
+        d = 32
+        path = tmp_path / "migrate"
+        x = unit_rows(rng, 1500, d)
+        single = TPUVectorStore(
+            path, VectorStoreConfig(dimension=d, metric="cosine",
+                                    enable_ann=True,
+                                    ann_params=dict(ANN_PARAMS)))
+        single.add_vectors(x)
+        assert single._ann_kind == "ivf"
+        single.flush()
+        assert (path / "ann_ivf.npz").exists()
+
+        sharded = ShardedVectorStore(path, mesh=make_device_mesh(8))
+        assert isinstance(sharded._ann, ShardedIVF)
+        ids, scores, _ = sharded.query(x[9], k=3)
+        assert ids[0] == 9 and scores[0] > 0.98

@@ -125,6 +125,7 @@ class IVFIndex:
         self._dev_rows = 0        # rows materialized into the device copy
         self._layout = None       # 'bucketized' | 'gather', set on first
         #                           _ensure_device (db-dtype dependent)
+        self._slot_bytes: int | None = None  # measured at _ensure_device
 
     # ------------------------------------------------------------- plumbing
 
@@ -388,6 +389,13 @@ class IVFIndex:
                 if sqnorms is not None else None)
         self._layout = ("gather" if self._gather_layout(db)
                         else "bucketized")
+        # actual device bytes per bucket slot for stats: the id table
+        # (4 B) plus, when bucketized, the PADDED row in the real storage
+        # dtype — the former dim*2+4 estimate under-reported f32 stores
+        # >2x (review finding)
+        self._slot_bytes = 4 + (
+            db.shape[1] * db.dtype.itemsize
+            if "buckets" in self._dev else 0)
         self._dev_rows = self._n
 
     def search(self, queries, db, count: int, k: int,
@@ -470,15 +478,15 @@ class IVFIndex:
     def get_stats(self) -> dict:
         nb, bc = (self._ids.shape if self._ids is not None else (0, 0))
         live = int((self._ids >= 0).sum()) if self._ids is not None else 0
-        gather = self._layout == "gather"
         # gather layout holds only the id table on device; bucketized
-        # duplicates the rows in the storage dtype. Before the first
-        # build/search nothing is materialized — report 0, not a
-        # hypothetical bucket copy (review finding: a freshly LOADED 32M
-        # int4 index claimed tens of GB it never allocates)
-        per_slot = 4 if gather else (self.dim * 2 + 4)
-        if self._dev is None and self._layout is None:
-            per_slot = 0
+        # duplicates the rows in the storage dtype. Before anything is
+        # materialized report 0, not a hypothetical bucket copy (review
+        # finding: a freshly LOADED 32M int4 index claimed tens of GB);
+        # once materialized, use the MEASURED bytes/slot (the former
+        # dim*2+4 estimate under-reported f32 stores >2x)
+        per_slot = getattr(self, "_slot_bytes", None)
+        if per_slot is None:
+            per_slot = 4 if self._layout == "gather" else 0
         return {
             "type": "ivf",
             "layout": self._layout or "unmaterialized",

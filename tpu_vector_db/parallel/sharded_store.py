@@ -27,6 +27,27 @@ from tpu_vector_db.utils.validation import validate_vector_shape
 logger = logging.getLogger(__name__)
 
 
+@jax.jit
+def _pack_device(keys, idx):
+    """Pack (keys f32, idx i32) into one int32 array on device.
+    f32->int32 bitcast only — axon miscompiles the reverse on device
+    (CLAUDE.md); the host reverses it with a numpy view."""
+    keys_i = jax.lax.bitcast_convert_type(
+        keys.astype(jnp.float32), jnp.int32)
+    return jnp.concatenate([keys_i, idx.astype(jnp.int32)], axis=-1)
+
+
+def _unpack_host(keys, idx):
+    """ONE blocking D2H for (keys, indices): a tunneled-TPU transfer
+    costs ~10ms, and the former two serial np.asarray calls doubled the
+    sharded serving floor vs the base class's packed transfer
+    (review finding; vector_store._query_packed)."""
+    k = keys.shape[-1]
+    host = np.asarray(_pack_device(keys, idx))  # the one blocking D2H
+    return (np.ascontiguousarray(host[..., :k]).view(np.float32),
+            host[..., k:])
+
+
 class _CompiledFnCache:
     """Bounded LRU of compiled query fns keyed (..., capacity).
 
@@ -224,6 +245,13 @@ class ShardedVectorStore(TPUVectorStore):
 
     # ------------------------------------------------------------------ ANN
 
+    def _load_ann_sidecar(self, n: int) -> None:
+        """Sharded indexes load through _refresh_ann (ShardedIVF/
+        ShardedBeamGraph own their multi-shard sidecar formats); the base
+        hook would load a single-chip ann_ivf.npz whose object lacks the
+        sharded search interface (review finding)."""
+        self._refresh_ann()
+
     def _auto_pick_kind(self) -> str:
         """index_type='auto' resolves to IVF on a sharded store regardless
         of row count — it must agree with _refresh_ann below (which builds
@@ -342,6 +370,7 @@ class ShardedVectorStore(TPUVectorStore):
                 # raw x127 quantizer scale, same as the flat engine
                 keys = jnp.where(jnp.isfinite(keys),
                                  keys * (1.0 / 127.0), keys)
+            keys, labels = _unpack_host(keys, labels)
         else:
             ef = p.get("ef_search", 100)
             key = (fetch_k, max(ef, fetch_k), self._cap)
@@ -357,8 +386,7 @@ class ShardedVectorStore(TPUVectorStore):
                     self._ann._entries_dev]
             if self._sqnorms is not None:
                 args.append(self._sqnorms)
-            keys, labels = fn(*args)
-        keys, labels = np.asarray(keys), np.asarray(labels)
+            keys, labels = _unpack_host(*fn(*args))
         out = []
         for row_keys, row_labels in zip(keys, labels):
             indices, scores, metas = [], [], []
@@ -415,11 +443,10 @@ class ShardedVectorStore(TPUVectorStore):
             args.append(filter_mask)
         if self._quant4:
             args.append(self._scales)
-        keys, idx = fn(*args)
-        keys = np.asarray(keys)
+        keys, idx = _unpack_host(*fn(*args))
         if self._dtype == jnp.int8:
             keys = keys * (1.0 / 127.0)  # undo the fixed quantizer scale
-        return keys, np.asarray(idx)
+        return keys, idx
 
     def get_stats(self) -> dict:
         stats = super().get_stats()

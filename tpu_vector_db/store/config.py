@@ -38,7 +38,8 @@ class VectorStoreConfig:
     # flush()/close(); "off": in-memory only.
     persist_mode: str = "sync"
     jit_compile: bool = True  # kept for config parity; scans are always jitted
-    # fused Pallas scan kernel for unfiltered k<=32 queries on TPU
+    # fused Pallas scan kernel on TPU (filters stream into the kernel;
+    # k <= 1024 via the bitonic big-k variant)
     use_pallas: bool = True
 
     def __post_init__(self) -> None:

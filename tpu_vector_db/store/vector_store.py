@@ -386,6 +386,13 @@ class TPUVectorStore:
             self._ann = None
             self._ann_stale = True
             self._auto_kind = None
+            # reset the recall guard: a latched low-recall verdict from
+            # the PREVIOUS corpus would silently route the repopulated
+            # store to the exact scan until it doubled past the old
+            # checkpoint (review finding)
+            self._ann_low_recall = False
+            self._ann_checked_at = 0
+            self._ann_recall_estimate = None
             self._dirty = False
 
     # ---------------------------------------------------------------- query
@@ -406,7 +413,7 @@ class TPUVectorStore:
             b *= 2
         return b
 
-    def _use_pallas(self, k: int, filtered: bool) -> bool:
+    def _use_pallas(self, k: int) -> bool:
         if not getattr(self.config, "use_pallas", True):
             return False
         if jax.default_backend() != "tpu":
@@ -425,7 +432,7 @@ class TPUVectorStore:
                    filter_mask: jnp.ndarray | None):
         q = D.pad_dim(jnp.asarray(queries, jnp.float32),
                       multiple=256 if self._quant4 else 128)
-        engine = ("pallas" if self._use_pallas(k, filter_mask is not None)
+        engine = ("pallas" if self._use_pallas(k)
                   else "xla")
         packed = _query_packed(
             q, self._db, np.int32(self._count), k,
@@ -732,7 +739,12 @@ class TPUVectorStore:
         if not p.get("self_check", True) or self._count < 2 \
                 or self._ann is None:
             return
-        n = min(sample, self._count)
+        # power-of-two sample: every distinct query-batch shape is a
+        # fresh multi-minute device compile through the axon tunnel, and
+        # batch_query pins serving shapes to powers of two for exactly
+        # this reason — a (100, d) self-check batch compiled TWO one-off
+        # programs inside the add lock (review finding)
+        n = 1 << (min(sample, self._count).bit_length() - 1)
         k_eff = min(k, self._count)
         rng = np.random.default_rng(0)
         rows = np.sort(rng.choice(self._count, size=n, replace=False))
@@ -831,7 +843,11 @@ class TPUVectorStore:
                 self._reset_device(target)
             if self.config.enable_ann and self._count:
                 self._refresh_ann()
-            jax.block_until_ready(self._db) if self._db is not None else None
+            if self._db is not None:
+                # true D2H sync: block_until_ready under-reports on axon
+                # (CLAUDE.md), so the returned duration would exclude the
+                # repack work still in flight
+                float(jnp.sum(self._db[0, :1].astype(jnp.float32)))
         return {"optimized": True, "capacity": self._cap,
                 "count": self._count,
                 "duration_ms": (time.perf_counter() - t0) * 1e3}
@@ -847,6 +863,11 @@ class TPUVectorStore:
             dummy[:, 0] = 1.0
             self.batch_query(dummy, k=min(k, self._count), use_ann=False)
             self.batch_query(dummy[:1], k=min(k, self._count), use_ann=False)
+            if self.config.enable_ann and self._ann is not None:
+                # also compile the ANN probe program — warming only the
+                # exact path left the FIRST production query paying the
+                # multi-minute device compile (review finding)
+                self.batch_query(dummy[:1], k=min(k, self._count))
             return {"warmed": True,
                     "duration_ms": (time.perf_counter() - t0) * 1e3}
 
@@ -878,14 +899,22 @@ class TPUVectorStore:
         self._meta_index.rebuild(metadata)
         self._reset_device(self._capacity_for(n))
         if self.config.enable_ann:
-            if self._ann_kind == "flat":   # auto below the crossover
-                self._ann_stale = False
-            else:
-                self._ann = self._make_ann()
-                if self._ann.load(self.store_path) and self._ann.size == n:
-                    self._ann_stale = False
-                else:
-                    self._refresh_ann()
+            self._load_ann_sidecar(n)
+
+    def _load_ann_sidecar(self, n: int) -> None:
+        """Reload the persisted index (or rebuild). ShardedVectorStore
+        overrides this — the base path would construct a SINGLE-CHIP
+        index and happily load a stale ann_ivf.npz into a sharded store,
+        after which every query raised AttributeError on the missing
+        make_search_fn (review finding)."""
+        if self._ann_kind == "flat":   # auto below the crossover
+            self._ann_stale = False
+            return
+        self._ann = self._make_ann()
+        if self._ann.load(self.store_path) and self._ann.size == n:
+            self._ann_stale = False
+        else:
+            self._refresh_ann()
 
     def get_vectors(self, indices: list[int] | None = None) -> np.ndarray:
         with self._lock:
