@@ -79,7 +79,8 @@ def _normal_db(n_pad, d, dtype=jnp.bfloat16, seed=0, fill=2 ** 19):
         x = x / jnp.maximum(
             jnp.sqrt(jnp.sum(x * x, -1, keepdims=True)), 1e-8)
         if dtype == jnp.int8:
-            x = jnp.clip(jnp.round(x * 127.0), -127, 127)
+            from tpu_vector_db.ops.quant4 import quantize_unit_rows
+            x = quantize_unit_rows(x, "int8")[0]  # THE store quantizer
         return jax.lax.dynamic_update_slice(
             buf, x.astype(dtype), (start, 0))
 
@@ -127,46 +128,63 @@ def _clustered_db(n_pad, d, n_centers=4096, seed=0, spread=0.2,
     return buf
 
 
-def _measure_chain(engine, q0, db, iters, warm=2):
-    """Data-dependency chain + one final D2H; returns s/iteration.
+def _measure_step_chain(step, q0, args, iters, warm=2):
+    """ONE timing harness for every row (review finding: three drifting
+    copies measured subtly different things). Data-dependency chain +
+    one final D2H; returns s/iteration.
 
-    The chain is folded INNER steps per dispatched program with
-    lax.fori_loop: the axon tunnel imposes a ~0.7 ms/dispatch floor
-    (measured — a trivial dependent step chains at 0.70 ms/step while the
-    same loop folded in-program runs at device speed), which would
-    otherwise dominate every batch-1 row. Folding measures the device,
-    matching what a locally-attached production host sees. INNER stays
-    small (10) — giant scan/loop programs compile pathologically slowly
-    on axon (CLAUDE.md). db is an explicit step argument (see _engine)."""
+    step(q, acc, *args) -> (q', acc') must keep q' dependent on the
+    step's result. The chain is folded INNER steps per dispatched
+    program with lax.fori_loop: the axon tunnel imposes a measured
+    ~0.7 ms/dispatch floor that would otherwise dominate every batch-1
+    row; folding measures the device, matching a locally-attached
+    production host. INNER stays small (10) — giant loop programs
+    compile pathologically slowly on axon (CLAUDE.md). Large arrays
+    flow through `args` (a jit closure would embed them as HLO
+    constants). min-of-3 reps strips the chip's ±30% cross-minute
+    drift — the min is the reproducible device capability."""
     inner = min(10, iters)
 
     @jax.jit
-    def chunk(q, acc, db):
+    def chunk(q, acc, *args):
         def body(_, carry):
             q, acc = carry
-            keys, _ = engine(q, db)
-            return (q + jnp.mean(keys) * 1e-6,
-                    acc + jnp.sum(keys.astype(jnp.float32)))
+            return step(q, acc, *args)
         return jax.lax.fori_loop(0, inner, body, (q, acc))
 
     t0 = time.perf_counter()
-    q, acc = chunk(q0, jnp.float32(0), db)
+    q, acc = chunk(q0, jnp.float32(0), *args)
     float(acc)
     _log(f"  compile+first {time.perf_counter() - t0:.1f}s")
     for _ in range(warm):
-        q, acc = chunk(q, acc, db)
+        q, acc = chunk(q, acc, *args)
     float(acc)
     outer = max(1, iters // inner)
-    # min of 3 reps: the tunnel-attached chip drifts ~±30% across
-    # minutes; the min is the reproducible device capability
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(outer):
-            q, acc = chunk(q, acc, db)
+            q, acc = chunk(q, acc, *args)
         float(acc)
         best = min(best, (time.perf_counter() - t0) / (outer * inner))
     return best
+
+
+def _topk_step(engine):
+    """Standard step: run the engine, perturb q by the result (data
+    dependency), accumulate finite keys (NEG_INF pads from short probe
+    sets must not poison acc — review finding in the old _ivf_row copy)."""
+    def step(q, acc, *args):
+        keys, _ = engine(q, *args)
+        keys = jnp.where(jnp.isfinite(keys), keys.astype(jnp.float32), 0.0)
+        return q + jnp.mean(keys) * 1e-9, acc + jnp.sum(keys)
+    return step
+
+
+def _measure_chain(engine, q0, db, iters, warm=2):
+    """Back-compat wrapper: single-db-arg engines."""
+    return _measure_step_chain(_topk_step(engine), q0, (db,), iters,
+                               warm=warm)
 
 
 def _queries(batch, d, seed=1):
@@ -191,7 +209,10 @@ def _scan_row(name, n, d, batch, k, dtype=jnp.bfloat16, metric="cosine",
         "value": round(qps, 1), "unit": "QPS",
         "latency_ms_per_batch": round(dt * 1e3, 3),
     }
-    if ref_key:
+    # vs_baseline only when the run is at FULL size: a CPU fallback caps
+    # n_eff at 100K, and dividing that QPS by the reference's full-size
+    # number would record a bogus ratio (review finding)
+    if ref_key and n_eff == n:
         row["vs_baseline"] = round(qps / REF[ref_key], 2)
         row["baseline_qps"] = REF[ref_key]
     del db
@@ -288,46 +309,21 @@ def _ivf_row():
     if ON_TPU:
         from tpu_vector_db.ops.ivf_scan import ivf_probe_topk_pallas
 
-        @jax.jit
-        def ivf_step(q, buckets, ids_d, fills, cents, bclust, csq, acc):
+        def ivf_engine(q, buckets, ids_d, fills, cents, bclust, csq):
             s = _select_buckets(q, cents, bclust, nprobe, "cosine", csq)
-            kv, _ = ivf_probe_topk_pallas(q, buckets, ids_d, fills, s, 10)
-            return q + jnp.mean(kv) * 1e-6, acc + jnp.sum(kv)
+            return ivf_probe_topk_pallas(q, buckets, ids_d, fills, s, 10)
     else:
         from tpu_vector_db.ops.ivf_scan import ivf_probe_topk_xla
 
-        @jax.jit
-        def ivf_step(q, buckets, ids_d, fills, cents, bclust, csq, acc):
+        def ivf_engine(q, buckets, ids_d, fills, cents, bclust, csq):
             s = _select_buckets(q, cents, bclust, nprobe, "cosine", csq)
-            kv, _ = ivf_probe_topk_xla(q, buckets, ids_d, s, 10,
-                                       metric="cosine")
-            return q + jnp.mean(kv) * 1e-6, acc + jnp.sum(kv)
+            return ivf_probe_topk_xla(q, buckets, ids_d, s, 10,
+                                      metric="cosine")
 
     iargs = (dev["buckets"], dev["ids"], dev["fills"], dev["centroids"],
              dev["bucket_cluster"], dev["c_sqnorms"])
-    iters = 50 if ON_TPU else 5
-    inner = min(10, iters)  # fold past the ~0.7ms/dispatch tunnel floor
-
-    @jax.jit
-    def ivf_chunk(q, *args):
-        def body(_, carry):
-            q, acc = carry
-            return ivf_step(q, *args[:-1], acc)
-        return jax.lax.fori_loop(0, inner, body, (q, args[-1]))
-
-    qq, acc = ivf_chunk(qj[:1], *iargs, jnp.float32(0))
-    float(acc)
-    for _ in range(2):
-        qq, acc = ivf_chunk(qq, *iargs, acc)
-    float(acc)
-    outer = max(1, iters // inner)
-    dt = float("inf")
-    for _ in range(3):  # min-of-reps: see _measure_chain
-        t0 = time.perf_counter()
-        for _ in range(outer):
-            qq, acc = ivf_chunk(qq, *iargs, acc)
-        float(acc)
-        dt = min(dt, (time.perf_counter() - t0) / (outer * inner))
+    dt = _measure_step_chain(_topk_step(ivf_engine), qj[:1], iargs,
+                             50 if ON_TPU else 5)
 
     # recall gate: every selected row's exact f32 score >= the f32 k-th
     ids_all, keys_all = idx.search(qj, db, n, k=10)
@@ -383,6 +379,8 @@ def _quant_ivf_row():
     kc = jax.random.PRNGKey(99)
     centers = jax.random.normal(kc, (n_centers, d), jnp.float32)
 
+    from tpu_vector_db.ops.quant4 import quantize_unit_rows
+
     @functools.partial(jax.jit, donate_argnums=(0,),
                        static_argnames=("rows",))
     def fill_fn(buf, cents, key, start, rows):
@@ -392,7 +390,9 @@ def _quant_ivf_row():
                                                   jnp.float32)
         x = x / jnp.maximum(
             jnp.sqrt(jnp.sum(x * x, -1, keepdims=True)), 1e-8)
-        q8 = jnp.clip(jnp.round(x * 127.0), -127, 127).astype(jnp.int8)
+        # THE store quantizer — a local reimplementation would silently
+        # drift from what the store serves (review finding)
+        q8 = quantize_unit_rows(x, "int8")[0]
         return jax.lax.dynamic_update_slice(buf, q8, (start, 0))
 
     buf = jnp.zeros((n_pad, d), jnp.int8)
@@ -416,37 +416,14 @@ def _quant_ivf_row():
     dev = idx._dev
     nprobe = idx.nprobe
 
-    def step(q, acc, db, ids, cents, bclust, csq):
+    def gather_engine(q, db, ids, cents, bclust, csq):
         sel = _select_buckets(q, cents, bclust, nprobe, "cosine", csq)
-        kv, _ = ivf_probe_topk_gather(q, db, ids, sel, 10)
-        kv = jnp.where(jnp.isfinite(kv), kv, 0.0)
-        return q + jnp.mean(kv) * 1e-9, acc + jnp.sum(kv)
+        return ivf_probe_topk_gather(q, db, ids, sel, 10)
 
     iargs = (buf, dev["ids"], dev["centroids"], dev["bucket_cluster"],
              dev["c_sqnorms"])
-    inner = 10 if ON_TPU else 2
-
-    @jax.jit
-    def chunk(q, acc, *args):
-        def body(_, carry):
-            q, acc = carry
-            return step(q, acc, *args)
-        return jax.lax.fori_loop(0, inner, body, (q, acc))
-
-    q0 = _queries(1, d, seed=5)
-    qq, acc = chunk(q0, jnp.float32(0), *iargs)
-    float(acc)
-    for _ in range(2):
-        qq, acc = chunk(qq, acc, *iargs)
-    float(acc)
-    outer = 3 if ON_TPU else 1
-    dt = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(outer):
-            qq, acc = chunk(qq, acc, *iargs)
-        float(acc)
-        dt = min(dt, (time.perf_counter() - t0) / (outer * inner))
+    dt = _measure_step_chain(_topk_step(gather_engine), _queries(1, d, 5),
+                             iargs, 30 if ON_TPU else 2)
 
     # score-recall@10 vs the exact engine on the SAME int8 rows
     nq = 16
@@ -471,15 +448,24 @@ def _quant_ivf_row():
     return row
 
 
-def _backend_alive(timeout_s: int = 180) -> bool:
+def _backend_alive(timeout_s: int | None = None) -> bool:
     """Probe the device in a SUBPROCESS with a hard timeout: when the
     axon tunnel is down, backend init HANGS for ~30 min rather than
-    raising — a try/except in-process cannot degrade gracefully. A
+    raising — a try/except in-process cannot degrade gracefully.
+
+    The timeout defaults to 420s (override VDB_BENCH_PROBE_TIMEOUT):
+    CLAUDE.md forbids timeout-killing TPU processes because it wedges a
+    LIVE tunnel for minutes, so the window is generous enough that only
+    an already-dead tunnel gets its probe killed (an 8x8 matmul is a
+    tiny program; even a cold tunnel answers in well under a minute —
+    the multi-minute compiles are large kernels). A
     healthy (even cold) tunnel answers a tiny matmul well inside the
     timeout; only an already-dead tunnel gets its probe killed."""
     import subprocess
+    if timeout_s is None:
+        timeout_s = int(os.environ.get("VDB_BENCH_PROBE_TIMEOUT", "420"))
     code = ("import jax, jax.numpy as jnp;"
-            "jax.block_until_ready(jnp.ones((8,8)) @ jnp.ones((8,8)));"
+            "print(float((jnp.ones((8,8)) @ jnp.ones((8,8))).sum()));"
             "print(jax.default_backend())")
     try:
         out = subprocess.run([sys.executable, "-c", code],
