@@ -21,8 +21,11 @@ def main() -> None:
         dimension=128,
         enable_ann=True,
         persist_mode="off",
-        # hnswlib-compatible knobs; build_backend: "tpu" | "cpu" (native C++)
-        ann_params={"M": 16, "ef_construction": 200, "ef_search": 100,
+        # hnswlib-compatible knobs; build_backend: "tpu" | "cpu" (native C++).
+        # index_type pins the graph family — the 'auto' default would
+        # route this 20K-row demo to the exact flat scan
+        ann_params={"index_type": "beam_graph", "min_rows": 0,
+                    "M": 16, "ef_construction": 200, "ef_search": 100,
                     "build_backend": "auto"},
     ))
     store.clear()

@@ -46,7 +46,10 @@ def main() -> None:
 
     # 6. persistence: stores reload from disk
     store.flush()
-    reloaded = vdb.TPUVectorStore(path, vdb.VectorStoreConfig(dimension=384))
+    # config=None restores the persisted config from manifest.json (the
+    # created-with dtype/metric/ANN settings); passing a mismatching
+    # config would raise StoreDimensionMismatch by design
+    reloaded = vdb.TPUVectorStore(path)
     print(f"reloaded {len(reloaded)} vectors;",
           "query parity:", reloaded.query(docs[42], k=1)[0] == indices[:1]
           or reloaded.query(docs[42], k=1)[0] == [42])
