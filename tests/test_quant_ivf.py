@@ -368,3 +368,62 @@ class TestCoreReviewRegressions:
         assert isinstance(sharded._ann, ShardedIVF)
         ids, scores, _ = sharded.query(x[9], k=3)
         assert ids[0] == 9 and scores[0] > 0.98
+
+
+class TestRerank:
+    def test_int4_rerank_recovers_f32_ordering(self, tmp_path, rng):
+        """rerank=True must return the EXACT f32 top-k ordering on a
+        quantized store (the quantized engine's ~0.005 score noise and
+        int8's 1/127 grid reorder near-ties)."""
+        d = 64
+        x = unit_rows(rng, 4000, d)
+        store = TPUVectorStore(
+            tmp_path / "rr",
+            VectorStoreConfig(dimension=d, metric="cosine",
+                              storage_dtype="int4", enable_ann=True,
+                              # random low-d data: score gaps (~1e-3) are
+                              # far inside the int4 noise, so exact id
+                              # recovery needs a deep oversample
+                              ann_params={**ANN_PARAMS,
+                                          "rerank_oversample": 32}))
+        store.add_vectors(x, [{"i": i} for i in range(4000)])
+        q = unit_rows(rng, 4, d)
+        gt = q @ x.T
+        out = store.batch_query(q, k=5, rerank=True)
+        for qi, (ids, scores, metas) in enumerate(out):
+            want = np.argsort(-gt[qi])[:5]
+            assert list(ids) == want.tolist(), (qi, ids, want)
+            np.testing.assert_allclose(scores, gt[qi][want], atol=1e-5)
+            assert [m["i"] for m in metas] == want.tolist()
+        # scores are exact f32 cosine, strictly sorted
+        for ids, scores, _ in out:
+            assert all(scores[i] >= scores[i + 1]
+                       for i in range(len(scores) - 1))
+
+    def test_rerank_with_filter(self, tmp_path, rng):
+        d = 64
+        x = unit_rows(rng, 2000, d)
+        store = TPUVectorStore(
+            tmp_path / "rrf",
+            VectorStoreConfig(dimension=d, metric="cosine",
+                              storage_dtype="int8", enable_ann=True,
+                              ann_params=dict(ANN_PARAMS)))
+        store.add_vectors(x, [{"g": i % 2} for i in range(2000)])
+        ids, scores, metas = store.query(x[8], k=5,
+                                         filter_metadata={"g": 0},
+                                         rerank=True)
+        assert all(m["g"] == 0 for m in metas)
+        assert ids[0] == 8 and scores[0] > 0.999
+
+    def test_rerank_noop_on_unquantized(self, tmp_path, rng):
+        d = 32
+        x = unit_rows(rng, 500, d)
+        store = TPUVectorStore(
+            tmp_path / "rrn",
+            VectorStoreConfig(dimension=d, metric="cosine"))
+        store.add_vectors(x)
+        a = store.batch_query(x[:3], k=4)
+        b = store.batch_query(x[:3], k=4, rerank=True)
+        for (ia, sa, _), (ib, sb, _) in zip(a, b):
+            assert list(ia) == list(ib)
+            np.testing.assert_allclose(sa, sb)

@@ -53,6 +53,9 @@ class VectorQueryRequest(BaseModel):
     k: int = Field(default=10, ge=1, le=1000)
     filter_metadata: dict | None = None
     use_ann: bool = True
+    # quantized stores: oversample k*4 on the quantized engine, re-score
+    # against the original f32 rows host-side (exact ordering)
+    rerank: bool = False
 
 
 class BatchQueryRequest(BaseModel):
@@ -62,6 +65,7 @@ class BatchQueryRequest(BaseModel):
     k: int = Field(default=10, ge=1, le=1000)
     filter_metadata: dict | None = None
     use_ann: bool = True
+    rerank: bool = False
 
     @field_validator("queries")
     @classmethod

@@ -59,12 +59,14 @@ async def query_vectors(request: web.Request) -> web.Response:
         indices, scores, metadata = await coalescer.query(
             body.user_id, body.model_id,
             np.asarray(body.query, np.float32), k=body.k,
-            filter_metadata=body.filter_metadata, use_ann=body.use_ann)
+            filter_metadata=body.filter_metadata, use_ann=body.use_ann,
+            rerank=body.rerank)
     else:
         indices, scores, metadata = await manager.query_async(
             body.user_id, body.model_id,
             np.asarray(body.query, np.float32), k=body.k,
-            filter_metadata=body.filter_metadata, use_ann=body.use_ann)
+            filter_metadata=body.filter_metadata, use_ann=body.use_ann,
+            rerank=body.rerank)
     dt = time.perf_counter() - t0
     record_vector_query(dt)
     store = manager.get_store(body.user_id, body.model_id, create=False)
@@ -83,7 +85,8 @@ async def batch_query_vectors(request: web.Request) -> web.Response:
     t0 = time.perf_counter()
     batches = await manager.batch_query_async(
         body.user_id, body.model_id, np.asarray(body.queries, np.float32),
-        k=body.k, filter_metadata=body.filter_metadata, use_ann=body.use_ann)
+        k=body.k, filter_metadata=body.filter_metadata, use_ann=body.use_ann,
+        rerank=body.rerank)
     dt = time.perf_counter() - t0
     record_vector_query(dt)
     store = manager.get_store(body.user_id, body.model_id, create=False)

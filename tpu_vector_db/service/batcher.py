@@ -65,12 +65,14 @@ class QueryCoalescer:
         return cls(manager, window_ms=window, max_batch=batch)
 
     async def query(self, user_id: str, model_id: str, vector: np.ndarray,
-                    k: int, filter_metadata=None, use_ann: bool = True):
+                    k: int, filter_metadata=None, use_ann: bool = True,
+                    rerank: bool = False):
         """Same contract as manager.query_async."""
         if filter_metadata is not None or self.window_s == 0.0:
             return await self.manager.query_async(
                 user_id, model_id, vector, k=k,
-                filter_metadata=filter_metadata, use_ann=use_ann)
+                filter_metadata=filter_metadata, use_ann=use_ann,
+                rerank=rerank)
         # validate THIS request's shape before it joins a lane: one
         # malformed vector must not fail every coalesced neighbor (the
         # np.stack / batch validation error would propagate to all
@@ -81,7 +83,7 @@ class QueryCoalescer:
         if arr.shape[0] != 1:
             raise ValueError("query() takes one vector; use batch_query()")
         loop = asyncio.get_running_loop()
-        key = (user_id, model_id, int(k), bool(use_ann))
+        key = (user_id, model_id, int(k), bool(use_ann), bool(rerank))
         lane = self._lanes.get(key)
         if lane is None:
             lane = self._lanes[key] = _Lane()
@@ -107,11 +109,11 @@ class QueryCoalescer:
 
     async def _run(self, key: tuple,
                    items: list[tuple[np.ndarray, asyncio.Future]]) -> None:
-        user_id, model_id, k, use_ann = key
+        user_id, model_id, k, use_ann, rerank = key
         try:
             arr = np.stack([v for v, _ in items])
             results = await self.manager.batch_query_async(
-                user_id, model_id, arr, k=k, use_ann=use_ann)
+                user_id, model_id, arr, k=k, use_ann=use_ann, rerank=rerank)
             self.batches += 1
             if len(items) > 1:
                 self.coalesced += len(items)

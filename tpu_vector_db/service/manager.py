@@ -228,7 +228,7 @@ class VectorStoreManager:
 
     async def query_async(self, user_id: str, model_id: str, query_vector,
                           k: int = 10, filter_metadata=None,
-                          use_ann: bool = True):
+                          use_ann: bool = True, rerank: bool = False):
         store = self.get_store(user_id, model_id, create=False)
         loop = asyncio.get_running_loop()
         breaker = self.errors.breaker(
@@ -236,11 +236,12 @@ class VectorStoreManager:
         return await loop.run_in_executor(
             self.executor,
             lambda: breaker.call(store.query, query_vector, k,
-                                 filter_metadata, use_ann))
+                                 filter_metadata, use_ann, rerank))
 
     async def batch_query_async(self, user_id: str, model_id: str,
                                 query_vectors, k: int = 10,
-                                filter_metadata=None, use_ann: bool = True):
+                                filter_metadata=None, use_ann: bool = True,
+                                rerank: bool = False):
         store = self.get_store(user_id, model_id, create=False)
         loop = asyncio.get_running_loop()
         breaker = self.errors.breaker(
@@ -248,7 +249,7 @@ class VectorStoreManager:
         return await loop.run_in_executor(
             self.executor,
             lambda: breaker.call(store.batch_query, query_vectors, k,
-                                 filter_metadata, use_ann))
+                                 filter_metadata, use_ann, rerank))
 
     # ---------------------------------------------------------------- stats
 

@@ -476,28 +476,37 @@ class TPUVectorStore:
         return indices, scores, metas
 
     def query(self, query_vector, k: int = 10, filter_metadata: dict | None = None,
-              use_ann: bool = True):
+              use_ann: bool = True, rerank: bool = False):
         """Top-k search. Returns (indices, raw_scores, metadata) — raw scores
         follow the canonical convention in ops/distance.py.
 
         Routing parity with the reference (optimized_vector_store.py:116-145):
         ANN when enabled/built (oversampling k*10 under filters, post-filter),
         any ANN failure falls back to the exact scan with a warning.
+        rerank: see batch_query.
         """
         arr = validate_vector_shape(query_vector, self.config.dimension)
         if arr.shape[0] != 1:
             raise ValueError("query() takes one vector; use batch_query()")
         res = self.batch_query(arr, k=k, filter_metadata=filter_metadata,
-                               use_ann=use_ann)
+                               use_ann=use_ann, rerank=rerank)
         return res[0]
 
     def batch_query(self, query_vectors, k: int = 10,
-                    filter_metadata: dict | None = None, use_ann: bool = True):
+                    filter_metadata: dict | None = None, use_ann: bool = True,
+                    rerank: bool = False):
         """Batched top-k: list of (indices, raw_scores, metadata) per query.
 
         This is the method the reference's /vectors/batch_query route called
         but never implemented (SURVEY.md §2.1); on TPU it is also the fast
         path — the scan amortizes one HBM sweep over the whole batch.
+
+        rerank=True (quantized stores): the engine oversamples k*4
+        candidates from the quantized rows, then the candidates re-score
+        against the ORIGINAL f32 rows on the host (O(4k*d) per query) and
+        the exact top-k returns. Closes the quantization ranking noise
+        (~0.005 cosine at int4-768D; int8's 1/127 score grid) for callers
+        that need f32-exact ordering. No-op on unquantized stores.
         """
         if k < 1:
             raise ValueError(f"k must be >= 1, got {k}")
@@ -517,6 +526,17 @@ class TPUVectorStore:
             if self._count == 0:
                 return [([], [], []) for _ in range(n_q)]
             k_eff = min(int(k), self._count)
+            # rerank (quantized only): engine oversamples, host re-scores.
+            # The oversample bounds how far a true top-k row may sink in
+            # the QUANTIZED ordering and still be recovered — raise it
+            # (ann_params["rerank_oversample"]) when score gaps are tight
+            # relative to the quantization noise (int4: ~0.005 cosine at
+            # 768D, wider at low d)
+            rerank_active = (rerank and
+                             self.config.storage_dtype in ("int8", "int4"))
+            over = int(self.config.ann_params.get("rerank_oversample", 4))
+            k_engine = (min(self._count, k_eff * max(over, 1))
+                        if rerank_active else k_eff)
 
             # routing: ANN only pays off past the fused flat scan's
             # crossover (the exact sweep does 1M rows in ~3.4ms on a v5e);
@@ -529,8 +549,8 @@ class TPUVectorStore:
             # 698 ms/batch-64 at 1M x 768D k=100 vs 9.4 ms for the exact
             # big-k kernel. The exact engine also handles the filtered
             # oversample (k*10) natively via its mask stream.
-            fetch_k = min(self._count, k_eff * 10) if filter_metadata \
-                else k_eff
+            fetch_k = min(self._count, k_engine * 10) if filter_metadata \
+                else k_engine
             ivf_large_k = (self._ann_kind == "ivf" and fetch_k > 32)
             # pathological-selectivity routing (r3): when the filter keeps
             # few rows, the ANN k*10 oversample returns ~selectivity*10*k
@@ -563,8 +583,10 @@ class TPUVectorStore:
                     self._ann is not None and self._count >= min_rows and
                     not self._ann_low_recall):
                 try:
-                    return self._ann_batch_query(
-                        arr, k_eff, filter_metadata)[:n_q]
+                    out = self._ann_batch_query(
+                        arr, k_engine, filter_metadata)[:n_q]
+                    return (self._rerank_exact(arr, out, k_eff)
+                            if rerank_active else out)
                 except Exception:  # noqa: BLE001 — parity: fall back to exact
                     logger.warning("ANN query failed; falling back to flat scan",
                                    exc_info=True)
@@ -575,12 +597,38 @@ class TPUVectorStore:
             # check above is reused so the O(cap) metadata pass runs once
             mask = (self._filter_mask(filter_metadata, host_mask)
                     if filter_metadata else None)
-            keys, idx = self._flat_topk(arr, k_eff, mask)
+            keys, idx = self._flat_topk(arr, k_engine, mask)
             performance_monitor.record("flat_scan_topk",
                                        time.perf_counter() - t0)
-            return [self._format_results(keys[i], idx[i], k_eff,
-                                         filter_metadata)
-                    for i in range(n_q)]
+            out = [self._format_results(keys[i], idx[i], k_engine,
+                                        filter_metadata)
+                   for i in range(n_q)]
+            return (self._rerank_exact(arr, out, k_eff)
+                    if rerank_active else out)
+
+    def _rerank_exact(self, queries: np.ndarray, results: list,
+                      k: int) -> list:
+        """Re-score each query's candidate list against the ORIGINAL f32
+        rows (host matmul, O(candidates*d) per query) and return the
+        exact top-k. Quantized stores are cosine-only, so scores are the
+        true f32 cosine."""
+        out = []
+        for qi, (indices, _scores, metas) in enumerate(results):
+            if not indices:
+                out.append((indices, _scores, metas))
+                continue
+            rows = self._host_buf[np.asarray(indices)].astype(np.float32)
+            rows = rows / np.maximum(
+                np.linalg.norm(rows, axis=1, keepdims=True), 1e-8)
+            q = queries[qi].astype(np.float32)
+            q = q / max(float(np.linalg.norm(q)), 1e-8)
+            exact = rows @ q
+            order = np.argsort(-exact)[:k]
+            out.append((
+                [indices[j] for j in order],
+                [float(np.clip(exact[j], -1.0, 1.0)) for j in order],
+                [metas[j] for j in order]))
+        return out
 
     # ------------------------------------------------------------------ ANN
 
