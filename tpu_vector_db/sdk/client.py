@@ -261,11 +261,13 @@ class VectorDBClient:
     @with_retry
     async def query_vectors(self, user_id: str, model_id: str, query,
                             k: int = 10, filter_metadata: dict | None = None,
-                            use_ann: bool = True) -> list[SearchResult]:
+                            use_ann: bool = True,
+                            rerank: bool = False) -> list[SearchResult]:
         out = await self._request("POST", "/vectors/query", json={
             "user_id": user_id, "model_id": model_id,
             "query": _to_float_lists(query)[0], "k": k,
-            "filter_metadata": filter_metadata, "use_ann": use_ann})
+            "filter_metadata": filter_metadata, "use_ann": use_ann,
+            "rerank": rerank})
         return [SearchResult(**r) for r in out["results"]]
 
     @with_retry
