@@ -570,3 +570,38 @@ def test_health_checker_caches_device_probe():
     hc.run_all()
     hc.run_all()
     assert calls["n"] == 1
+
+
+def test_delete_vectors_endpoint(client_factory, rng):
+    async def go():
+        async with client_factory() as client:
+            vecs = rng.standard_normal((20, 32)).astype("float32")
+            r = await client.post("/admin/create_store", headers=ADMIN, json={
+                "user_id": "d", "model_id": "m", "dimension": 32})
+            assert r.status == 201
+            r = await client.post("/vectors/add", headers=AUTH, json={
+                "user_id": "d", "model_id": "m", "vectors": vecs.tolist(),
+                "metadata": [{"i": i} for i in range(20)]})
+            assert r.status == 200
+            r = await client.post("/vectors/delete", headers=AUTH, json={
+                "user_id": "d", "model_id": "m", "indices": [3, 4]})
+            assert r.status == 200
+            body = await r.json()
+            assert body == {"deleted": 2, "live": 18}
+            r = await client.get("/vectors/count",
+                                 params={"user_id": "d", "model_id": "m"},
+                                 headers=AUTH)
+            assert (await r.json())["count"] == 18
+            r = await client.post("/vectors/query", headers=AUTH, json={
+                "user_id": "d", "model_id": "m",
+                "query": vecs[3].tolist(), "k": 5})
+            got = [x["index"] for x in (await r.json())["results"]]
+            assert 3 not in got and 4 not in got
+            # empty indices -> 422; out-of-range -> 400
+            r = await client.post("/vectors/delete", headers=AUTH, json={
+                "user_id": "d", "model_id": "m", "indices": []})
+            assert r.status == 422
+            r = await client.post("/vectors/delete", headers=AUTH, json={
+                "user_id": "d", "model_id": "m", "indices": [100]})
+            assert r.status == 400
+    run(go())

