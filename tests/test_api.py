@@ -605,3 +605,36 @@ def test_delete_vectors_endpoint(client_factory, rng):
                 "user_id": "d", "model_id": "m", "indices": [100]})
             assert r.status == 400
     run(go())
+
+
+def test_get_vectors_by_id(client_factory, rng):
+    async def go():
+        async with client_factory() as client:
+            vecs = rng.standard_normal((10, 16)).astype("float32")
+            r = await client.post("/admin/create_store", headers=ADMIN, json={
+                "user_id": "g", "model_id": "m", "dimension": 16})
+            assert r.status == 201
+            await client.post("/vectors/add", headers=AUTH, json={
+                "user_id": "g", "model_id": "m", "vectors": vecs.tolist(),
+                "metadata": [{"i": i} for i in range(10)]})
+            r = await client.get("/vectors/get", headers=AUTH,
+                                 params={"user_id": "g", "model_id": "m",
+                                         "ids": "2,5"})
+            assert r.status == 200, await r.text()
+            body = await r.json()
+            assert body["ids"] == [2, 5]
+            np.testing.assert_allclose(body["vectors"][0], vecs[2],
+                                       atol=1e-6)
+            assert body["metadata"][1] == {"i": 5}
+            # deleted id -> 404
+            await client.post("/vectors/delete", headers=AUTH, json={
+                "user_id": "g", "model_id": "m", "indices": [5]})
+            r = await client.get("/vectors/get", headers=AUTH,
+                                 params={"user_id": "g", "model_id": "m",
+                                         "ids": "5"})
+            assert r.status == 404
+            r = await client.get("/vectors/get", headers=AUTH,
+                                 params={"user_id": "g", "model_id": "m",
+                                         "ids": "abc"})
+            assert r.status == 400
+    run(go())

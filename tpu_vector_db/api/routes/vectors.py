@@ -26,6 +26,7 @@ def register(app: web.Application) -> None:
     app.router.add_post("/vectors/delete", delete_vectors)
     app.router.add_post("/vectors/query", query_vectors)
     app.router.add_post("/vectors/batch_query", batch_query_vectors)
+    app.router.add_get("/vectors/get", get_vectors)
     app.router.add_get("/vectors/count", vector_count)
     app.router.add_get("/vectors/stats", vector_stats)
     app.router.add_get("/vectors/health", vectors_health)
@@ -112,6 +113,38 @@ async def batch_query_vectors(request: web.Request) -> web.Response:
         "qps": round(len(batches) / max(dt, 1e-9), 1),
         "store_count": len(store),
         "metric": store.metric,
+    })
+
+
+@require_api_key
+async def get_vectors(request: web.Request) -> web.Response:
+    """Fetch vectors + metadata by id (?user_id=&model_id=&ids=1,2,3).
+    Standard vector-DB surface the reference lacked; tombstoned ids 404."""
+    q = request.rel_url.query
+    user_id, model_id = q.get("user_id"), q.get("model_id")
+    if not user_id or not model_id or not q.get("ids"):
+        raise web.HTTPBadRequest(reason="user_id, model_id, ids required")
+    try:
+        ids = [int(s) for s in q["ids"].split(",") if s.strip()]
+    except ValueError:
+        raise web.HTTPBadRequest(reason="ids must be comma-separated ints")
+    if not ids or len(ids) > 1000:
+        raise web.HTTPBadRequest(reason="1..1000 ids per request")
+    store = request.app["manager"].get_store(user_id, model_id,
+                                             create=False)
+    with store._lock:
+        bad = [i for i in ids
+               if i < 0 or i >= store._count or i in store._deleted]
+        if bad:
+            raise web.HTTPNotFound(
+                reason=f"ids not found (deleted or out of range): "
+                       f"{bad[:10]}")
+        vecs = store.get_vectors(ids)
+        metas = [store._metadata[i] for i in ids]
+    return web.json_response({
+        "ids": ids,
+        "vectors": vecs.tolist(),
+        "metadata": metas,
     })
 
 
