@@ -512,3 +512,47 @@ class TestDeletion:
         store.delete_vectors([11])
         ids, _, _ = store.query(x[11], k=5)
         assert 11 not in ids and len(ids) == 5
+
+
+class TestDeletionReviewRegressions:
+    def test_live_mask_is_cached(self, tmp_store_path, rng, monkeypatch):
+        """The live mask must not rebuild O(cap) per query (review
+        finding: ~120ms/query H2D at 10M rows until compact)."""
+        store, vecs = make_store(tmp_store_path, n=100, rng=rng)
+        store.delete_vectors([3])
+        builds = []
+        orig = np.ones
+
+        def counting_ones(*a, **k):
+            builds.append(1)
+            return orig(*a, **k)
+
+        store.query(vecs[0], k=2)          # build + device upload once
+        monkeypatch.setattr(np, "ones", counting_ones)
+        for _ in range(5):
+            store.query(vecs[0], k=2)
+        mask_builds = len(builds)
+        assert mask_builds == 0, f"live mask rebuilt {mask_builds} times"
+        # a new delete invalidates the cache
+        monkeypatch.undo()
+        store.delete_vectors([4])
+        ids, _, _ = store.query(vecs[4], k=3)
+        assert 4 not in ids
+
+    def test_optimize_compacts_tombstones(self, tmp_store_path, rng):
+        store, vecs = make_store(tmp_store_path, n=50, rng=rng)
+        store.delete_vectors([0, 1])
+        out = store.optimize()
+        assert out["compacted"] == 2 and out["count"] == 48
+        assert store.get_stats()["deleted_count"] == 0
+
+    def test_get_vectors_validates(self, tmp_store_path, rng):
+        store, vecs = make_store(tmp_store_path, n=10, rng=rng)
+        store.delete_vectors([2])
+        with pytest.raises(KeyError):
+            store.get_vectors([2])
+        with pytest.raises(KeyError):
+            store.get_metadata([99])
+        assert store.get_vectors(None).shape == (9, 32)   # live only
+        np.testing.assert_allclose(store.get_vectors([3])[0], vecs[3],
+                                   atol=1e-6)

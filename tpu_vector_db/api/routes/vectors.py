@@ -130,17 +130,19 @@ async def get_vectors(request: web.Request) -> web.Response:
         raise web.HTTPBadRequest(reason="ids must be comma-separated ints")
     if not ids or len(ids) > 1000:
         raise web.HTTPBadRequest(reason="1..1000 ids per request")
-    store = request.app["manager"].get_store(user_id, model_id,
-                                             create=False)
-    with store._lock:
-        bad = [i for i in ids
-               if i < 0 or i >= store._count or i in store._deleted]
-        if bad:
-            raise web.HTTPNotFound(
-                reason=f"ids not found (deleted or out of range): "
-                       f"{bad[:10]}")
-        vecs = store.get_vectors(ids)
-        metas = [store._metadata[i] for i in ids]
+    import asyncio
+    manager = request.app["manager"]
+    store = manager.get_store(user_id, model_id, create=False)
+
+    def fetch():
+        # store methods validate (tombstoned/out-of-range -> KeyError,
+        # mapped to 404 by the error middleware); runs on a WORKER so the
+        # store lock — held for minutes during device compiles — cannot
+        # stall the event loop (review finding)
+        return store.get_vectors(ids), store.get_metadata(ids)
+
+    vecs, metas = await asyncio.get_running_loop().run_in_executor(
+        manager.executor, fetch)
     return web.json_response({
         "ids": ids,
         "vectors": vecs.tolist(),

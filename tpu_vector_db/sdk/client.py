@@ -280,13 +280,13 @@ class VectorDBClient:
 
     @with_retry
     async def batch_query_vectors(self, user_id: str, model_id: str, queries,
-                                  k: int = 10,
+                                  k: int = 10, rerank: bool = False,
                                   filter_metadata: dict | None = None
                                   ) -> list[list[SearchResult]]:
         out = await self._request("POST", "/vectors/batch_query", json={
             "user_id": user_id, "model_id": model_id,
             "queries": _to_float_lists(queries), "k": k,
-            "filter_metadata": filter_metadata})
+            "filter_metadata": filter_metadata, "rerank": rerank})
         return [[SearchResult(**r) for r in row] for row in out["results"]]
 
     @with_retry

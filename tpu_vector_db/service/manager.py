@@ -231,7 +231,7 @@ class VectorStoreManager:
         store = self.get_store(user_id, model_id, create=False)
         loop = asyncio.get_running_loop()
         breaker = self.errors.breaker(
-            f"vector_add:{user_id}/{model_id}")
+            f"vector_delete:{user_id}/{model_id}")
         return await loop.run_in_executor(
             self.executor,
             lambda: breaker.call(store.delete_vectors, indices))

@@ -238,6 +238,9 @@ class TPUVectorStore:
         # post-filter out of ANN results; compact() reclaims space with
         # an explicit id remap.
         self._deleted: set[int] = set()
+        self._live_mask_version = 0
+        self._live_mask_cache: tuple | None = None  # ((cap, ver), host)
+        self._live_mask_dev: tuple | None = None    # ((cap, ver), device)
 
         # device state (created lazily in _reset_device)
         self._cap = 0
@@ -382,8 +385,8 @@ class TPUVectorStore:
         (the live mask streams with the db blocks exactly like metadata
         filters — measured free, BENCHMARKS.md) and post-filter out of
         ANN results under the same k*10 oversample as filters. Space
-        reclaims on compact(). Neither the reference nor most single-file
-        stores support deletion at all."""
+        reclaims on compact() or optimize() (both REMAP ids). Neither the
+        reference nor most single-file stores support deletion at all."""
         with self._lock:
             idx = np.unique(np.asarray(indices, np.int64))
             if idx.size and (idx[0] < 0 or idx[-1] >= self._count):
@@ -393,6 +396,7 @@ class TPUVectorStore:
             self._deleted.update(int(i) for i in idx)
             deleted = len(self._deleted) - before
             if deleted:
+                self._live_mask_version += 1
                 self._dirty = True
                 if self.config.persist_mode == "sync":
                     self._save()
@@ -415,6 +419,15 @@ class TPUVectorStore:
             self._meta_index.rebuild(self._metadata)
             self._count = len(keep)
             self._deleted.clear()
+            self._live_mask_version += 1
+            self._live_mask_cache = None
+            self._live_mask_dev = None
+            # routing/recall state was derived from the pre-compact
+            # corpus — re-evaluate, exactly like clear() (review finding)
+            self._auto_kind = None
+            self._ann_low_recall = False
+            self._ann_checked_at = 0
+            self._ann_recall_estimate = None
             self._ann = None
             self._ann_stale = True
             self._reset_device(self._capacity_for(max(self._count, 1)))
@@ -428,13 +441,33 @@ class TPUVectorStore:
 
     def _live_host_mask(self) -> np.ndarray | None:
         """(cap,) float32 0/1 mask of live rows, or None when nothing is
-        deleted (the no-mask fast path stays mask-free)."""
+        deleted (the no-mask fast path stays mask-free).
+
+        CACHED: rebuilding O(cap) + re-uploading 4 B/row per query would
+        cost ~120 ms/query at 10M rows through the tunnel (review
+        finding); the mask only changes on delete/compact/clear/capacity
+        change, which all bump _live_mask_version."""
         if not self._deleted:
             return None
-        mask = np.ones((self._cap,), np.float32)
-        mask[np.fromiter(self._deleted, np.int64,
-                         len(self._deleted))] = 0.0
-        return mask
+        key = (self._cap, self._live_mask_version)
+        if self._live_mask_cache is None or \
+                self._live_mask_cache[0] != key:
+            mask = np.ones((self._cap,), np.float32)
+            mask[np.fromiter(self._deleted, np.int64,
+                             len(self._deleted))] = 0.0
+            self._live_mask_cache = (key, mask)
+        return self._live_mask_cache[1]
+
+    def _device_live_mask(self):
+        """Device-resident live mask for deletion-only queries — one H2D
+        upload per (capacity, deletion-version), not per query."""
+        lm = self._live_host_mask()
+        if lm is None:
+            return None
+        key = (self._cap, self._live_mask_version)
+        if self._live_mask_dev is None or self._live_mask_dev[0] != key:
+            self._live_mask_dev = (key, self._filter_mask(None, lm))
+        return self._live_mask_dev[1]
 
     def clear(self) -> None:
         """Drop all state and wipe the directory (reference :198-209)."""
@@ -462,6 +495,8 @@ class TPUVectorStore:
             self._ann_checked_at = 0
             self._ann_recall_estimate = None
             self._deleted = set()
+            self._live_mask_cache = None
+            self._live_mask_dev = None
             self._dirty = False
 
     # ---------------------------------------------------------------- query
@@ -673,8 +708,12 @@ class TPUVectorStore:
             # polymorphic: ShardedVectorStore's override device_puts the
             # mask with the shard sharding; host_mask from the selectivity
             # check above is reused so the O(cap) metadata pass runs once
-            mask = (self._filter_mask(filter_metadata, host_mask)
-                    if host_mask is not None else None)
+            if host_mask is None:
+                mask = None
+            elif filter_metadata is None:
+                mask = self._device_live_mask()   # cached H2D (tombstones)
+            else:
+                mask = self._filter_mask(filter_metadata, host_mask)
             keys, idx = self._flat_topk(arr, k_engine, mask)
             performance_monitor.record("flat_scan_topk",
                                        time.perf_counter() - t0)
@@ -961,9 +1000,17 @@ class TPUVectorStore:
     # ------------------------------------------------------------- lifecycle
 
     def optimize(self) -> dict:
-        """Re-pack device buffers to minimal capacity and rebuild the ANN
-        index. Implements for real what the reference's /admin/optimize_store
-        and /performance/optimize called on a nonexistent method (§2.1)."""
+        """Compact tombstones, re-pack device buffers to minimal capacity
+        and rebuild the ANN index. Implements for real what the reference's
+        /admin/optimize_store and /performance/optimize called on a
+        nonexistent method (§2.1).
+
+        NOTE: compaction REMAPS row ids (ids are positional). Callers that
+        track external ids should use compact() directly for the
+        old->new remap, or avoid optimize() while tombstones exist."""
+        compacted = 0
+        if self._deleted:
+            compacted = self.compact()["compacted"]
         t0 = time.perf_counter()
         with self._lock:
             target = self._capacity_for(max(self._count, 1))
@@ -977,7 +1024,7 @@ class TPUVectorStore:
                 # repack work still in flight
                 float(jnp.sum(self._db[0, :1].astype(jnp.float32)))
         return {"optimized": True, "capacity": self._cap,
-                "count": self._count,
+                "count": self._count, "compacted": compacted,
                 "duration_ms": (time.perf_counter() - t0) * 1e3}
 
     def warmup(self, batch: int = 8, k: int = 10) -> dict:
@@ -1063,10 +1110,36 @@ class TPUVectorStore:
             self._refresh_ann()
 
     def get_vectors(self, indices: list[int] | None = None) -> np.ndarray:
+        """Fetch rows by id (all LIVE rows when indices is None).
+        Tombstoned or out-of-range ids raise KeyError — the validation
+        belongs here, not in the HTTP route (review finding: library
+        callers silently received deleted rows / bare IndexError)."""
         with self._lock:
-            live = self._host_buf[: self._count] if self._count else \
-                np.zeros((0, self.config.dimension), np.float32)
-            return live.copy() if indices is None else live[np.asarray(indices)]
+            if indices is None:
+                live = (self._host_buf[: self._count] if self._count else
+                        np.zeros((0, self.config.dimension), np.float32))
+                if not self._deleted:
+                    return live.copy()
+                keep = np.array([i for i in range(self._count)
+                                 if i not in self._deleted], np.int64)
+                return live[keep]
+            idx = np.asarray(indices, np.int64)
+            bad = [int(i) for i in idx
+                   if i < 0 or i >= self._count or int(i) in self._deleted]
+            if bad:
+                raise KeyError(
+                    f"ids not found (deleted or out of range): {bad[:10]}")
+            return self._host_buf[idx].copy()
+
+    def get_metadata(self, indices: list[int]) -> list[dict]:
+        """Metadata for live ids (same validation as get_vectors)."""
+        with self._lock:
+            bad = [int(i) for i in indices
+                   if i < 0 or i >= self._count or int(i) in self._deleted]
+            if bad:
+                raise KeyError(
+                    f"ids not found (deleted or out of range): {bad[:10]}")
+            return [self._metadata[int(i)] for i in indices]
 
     def get_stats(self) -> dict:
         with self._lock:
