@@ -556,3 +556,149 @@ class TestDeletionReviewRegressions:
         assert store.get_vectors(None).shape == (9, 32)   # live only
         np.testing.assert_allclose(store.get_vectors([3])[0], vecs[3],
                                    atol=1e-6)
+
+
+class TestHeavyDeletion:
+    """Deletion fractions 50/90/99% (VERDICT r3 item 5): queries must
+    return exactly k live results in exact agreement with a masked
+    ground-truth scan, and mostly-tombstoned stores must route to the
+    masked exact scan instead of post-filtering ANN results."""
+
+    ANN = {"auto_flat_rows": 1000, "min_rows": 0, "n_clusters": 8,
+           "nprobe": 8, "bucket_rows": 512, "self_check": False}
+
+    def _mk(self, tmp_path, rng, n=2000, d=32, **cfg):
+        x = rng.standard_normal((n, d)).astype(np.float32)
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        store = TPUVectorStore(
+            tmp_path / "hd",
+            VectorStoreConfig(dimension=d, metric="cosine",
+                              persist_mode="off", **cfg))
+        store.add_vectors(x, [{"i": i} for i in range(n)])
+        return store, x
+
+    @pytest.mark.parametrize("frac", [0.5, 0.9, 0.99])
+    def test_exactly_k_live_and_parity(self, tmp_path, rng, frac):
+        n, k = 2000, 10
+        store, x = self._mk(tmp_path, rng, n=n, enable_ann=True,
+                            ann_params=dict(self.ANN))
+        dead = int(n * frac)
+        store.delete_vectors(list(range(dead)))
+        live = np.arange(dead, n)
+        q = x[live[0]] + 0.05 * rng.standard_normal(x.shape[1]).astype(
+            np.float32)
+        ids, scores, metas = store.query(q, k=k)
+        assert len(ids) == k, f"{len(ids)} live results at frac={frac}"
+        assert all(i >= dead for i in ids)
+        # exact parity vs masked f32 ground truth (float32 storage, CPU
+        # scan is f32 — scores must match to float tolerance)
+        qn = q / np.linalg.norm(q)
+        gt = x[live] @ qn
+        order = np.argsort(-gt)[:k]
+        np.testing.assert_allclose(scores, gt[order], atol=1e-5)
+        assert set(ids) == set((live[order]).tolist())
+
+    def test_mostly_deleted_routes_exact(self, tmp_path, rng, monkeypatch):
+        store, x = self._mk(tmp_path, rng, enable_ann=True,
+                            ann_params=dict(self.ANN))
+        assert store._ann_kind == "ivf"
+        store.delete_vectors(list(range(1800)))          # live_frac 0.1
+
+        def boom(*a, **kw):  # noqa: ANN002
+            raise AssertionError("ANN must not serve a 90%-tombstoned store")
+
+        monkeypatch.setattr(store, "_ann_batch_query", boom)
+        ids, _, _ = store.query(x[1900], k=2)
+        assert ids[0] == 1900
+
+    def test_light_deletion_keeps_ann_with_scaled_oversample(
+            self, tmp_path, rng, monkeypatch):
+        store, x = self._mk(tmp_path, rng, enable_ann=True,
+                            ann_params=dict(self.ANN))
+        store.delete_vectors(list(range(200)))           # live_frac 0.9
+        calls = []
+        orig = store._ann_batch_query
+        monkeypatch.setattr(
+            store, "_ann_batch_query",
+            lambda arr, k, f: calls.append(k) or orig(arr, k, f))
+        # k=2: scaled fetch = ceil(2*10/0.9) = 23 <= the IVF large-k
+        # cutoff, so the ANN path serves with the deeper oversample
+        ids, _, _ = store.query(x[500], k=2)
+        assert calls, "ANN path should serve at live_frac 0.9"
+        assert ids[0] == 500 and all(i >= 200 for i in ids)
+
+    def test_post_filter_fetch_k_scaling(self, tmp_path, rng):
+        store, _ = self._mk(tmp_path, rng, n=1000)
+        assert store._post_filter_fetch_k(5, filtered=False) == 5
+        assert store._post_filter_fetch_k(5, filtered=True) == 50
+        store.delete_vectors(list(range(500)))           # live_frac 0.5
+        assert store._post_filter_fetch_k(5, filtered=False) == 100
+        store.delete_vectors(list(range(990)))           # live_frac 0.01
+        # 1/live_frac capped at 10x the base oversample, then count
+        assert store._post_filter_fetch_k(5, filtered=True) == 500
+
+    def test_compact_remap_covers_moved_ids_only(self, tmp_path, rng):
+        store, x = self._mk(tmp_path, rng, n=100)
+        store.delete_vectors([40, 60])
+        out = store.compact()
+        # identity prefix omitted (advisor finding: full dicts cost GBs
+        # at 32M rows); moved ids all present and correct
+        assert 0 not in out["remap"] and 39 not in out["remap"]
+        assert out["remap"][41] == 40 and out["remap"][99] == 97
+        assert out["remap"][61] == 59
+
+
+class TestRerankBf16:
+    """rerank=True on bf16 stores (VERDICT r3 item 7): bf16
+    tie-ambiguity makes near-tied ids arbitrary; rerank must recover the
+    exact f32 ordering, mirroring the quantized-rerank test."""
+
+    def test_bf16_rerank_recovers_f32_ordering(self, tmp_path, rng):
+        d, n = 64, 4000
+        x = rng.standard_normal((n, d)).astype(np.float32)
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        store = TPUVectorStore(
+            tmp_path / "rrb",
+            VectorStoreConfig(dimension=d, metric="cosine",
+                              storage_dtype="bfloat16", persist_mode="off",
+                              ann_params={"rerank_oversample": 32}))
+        store.add_vectors(x, [{"i": i} for i in range(n)])
+        q = rng.standard_normal((4, d)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        gt = q @ x.T
+        out = store.batch_query(q, k=5, rerank=True)
+        for qi, (ids, scores, metas) in enumerate(out):
+            want = np.argsort(-gt[qi])[:5]
+            assert list(ids) == want.tolist(), (qi, ids, want)
+            np.testing.assert_allclose(scores, gt[qi][want], atol=1e-5)
+            assert [m["i"] for m in metas] == want.tolist()
+
+    def test_bf16_rerank_euclidean(self, tmp_path, rng):
+        d, n = 32, 1000
+        x = rng.standard_normal((n, d)).astype(np.float32)
+        store = TPUVectorStore(
+            tmp_path / "rre",
+            VectorStoreConfig(dimension=d, metric="euclidean",
+                              storage_dtype="bfloat16", persist_mode="off",
+                              ann_params={"rerank_oversample": 16}))
+        store.add_vectors(x)
+        q = rng.standard_normal(d).astype(np.float32)
+        gt = np.linalg.norm(x - q, axis=1)
+        want = np.argsort(gt)[:5]
+        ids, scores, _ = store.query(q, k=5, rerank=True)
+        assert list(ids) == want.tolist()
+        np.testing.assert_allclose(scores, gt[want], rtol=1e-5)
+        assert all(scores[i] <= scores[i + 1] for i in range(4))
+
+    def test_rerank_still_noop_on_float32(self, tmp_path, rng):
+        d = 32
+        x = rng.standard_normal((100, d)).astype(np.float32)
+        store = TPUVectorStore(
+            tmp_path / "rrn32",
+            VectorStoreConfig(dimension=d, persist_mode="off"))
+        store.add_vectors(x)
+        a = store.batch_query(x[:2], k=4)
+        b = store.batch_query(x[:2], k=4, rerank=True)
+        for (ia, sa, _), (ib, sb, _) in zip(a, b):
+            assert list(ia) == list(ib)
+            np.testing.assert_allclose(sa, sb)

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import functools
 import logging
+import math
 import shutil
 import threading
 import time
@@ -403,16 +404,33 @@ class TPUVectorStore:
             return {"deleted": deleted,
                     "live": self._count - len(self._deleted)}
 
-    def compact(self) -> dict:
+    def compact(self, rebuild_ann: bool = True,
+                want_remap: bool = True) -> dict:
         """Physically remove tombstoned rows. Returns an id remap
         (old -> new) for callers that track external ids; rebuilds device
-        buffers and any ANN index."""
+        buffers and any ANN index.
+
+        The remap covers only ids that MOVED (old >= the first deleted
+        id); every live id below the first tombstone is identity and is
+        omitted — a full dict over a 16-32M-row capacity store costs
+        multi-GB and seconds on the 1-core host (advisor finding).
+        want_remap=False skips remap construction entirely (optimize()
+        discards it); rebuild_ann=False defers the ANN rebuild to the
+        caller (optimize() would otherwise trigger a second minutes-scale
+        build right after this one)."""
         with self._lock:
             if not self._deleted:
                 return {"compacted": 0, "live": self._count, "remap": {}}
-            keep = np.array([i for i in range(self._count)
-                             if i not in self._deleted], np.int64)
-            remap = {int(old): new for new, old in enumerate(keep)}
+            live = np.ones(self._count, bool)
+            live[np.fromiter(self._deleted, np.int64,
+                             len(self._deleted))] = False
+            keep = np.nonzero(live)[0]
+            if want_remap:
+                first_del = min(self._deleted)
+                moved = np.nonzero(keep >= first_del)[0]
+                remap = {int(keep[j]): int(j) for j in moved}
+            else:
+                remap = {}
             n_removed = self._count - len(keep)
             self._host_buf[: len(keep)] = self._host_buf[keep]
             self._metadata = [self._metadata[i] for i in keep]
@@ -431,7 +449,7 @@ class TPUVectorStore:
             self._ann = None
             self._ann_stale = True
             self._reset_device(self._capacity_for(max(self._count, 1)))
-            if self.config.enable_ann and self._count:
+            if rebuild_ann and self.config.enable_ann and self._count:
                 self._refresh_ann()
             self._dirty = True
             if self.config.persist_mode == "sync":
@@ -605,12 +623,13 @@ class TPUVectorStore:
         but never implemented (SURVEY.md §2.1); on TPU it is also the fast
         path — the scan amortizes one HBM sweep over the whole batch.
 
-        rerank=True (quantized stores): the engine oversamples k*4
-        candidates from the quantized rows, then the candidates re-score
-        against the ORIGINAL f32 rows on the host (O(4k*d) per query) and
-        the exact top-k returns. Closes the quantization ranking noise
-        (~0.005 cosine at int4-768D; int8's 1/127 score grid) for callers
-        that need f32-exact ordering. No-op on unquantized stores.
+        rerank=True (any lossy storage dtype — int8/int4/bfloat16): the
+        engine oversamples k*4 candidates from the stored rows, then the
+        candidates re-score against the ORIGINAL f32 rows on the host
+        (O(4k*d) per query) and the exact top-k returns. Closes the
+        quantization ranking noise (~0.005 cosine at int4-768D; int8's
+        1/127 score grid) AND bf16 tie-ambiguity for callers that need
+        f32-exact ordering. No-op on float32 stores (already exact).
         """
         if k < 1:
             raise ValueError(f"k must be >= 1, got {k}")
@@ -631,14 +650,20 @@ class TPUVectorStore:
             if live_total == 0:
                 return [([], [], []) for _ in range(n_q)]
             k_eff = min(int(k), live_total)
-            # rerank (quantized only): engine oversamples, host re-scores.
+            # rerank (lossy dtypes): engine oversamples, host re-scores.
             # The oversample bounds how far a true top-k row may sink in
             # the QUANTIZED ordering and still be recovered — raise it
             # (ann_params["rerank_oversample"]) when score gaps are tight
             # relative to the quantization noise (int4: ~0.005 cosine at
             # 768D, wider at low d)
+            # rerank applies to every lossy storage dtype: int8/int4
+            # quantization noise AND bf16 rounding — bf16 tie-ambiguity on
+            # tight clusters makes "top-10 ids" arbitrary tie-breaks (a
+            # perfect index measured id-recall 0.096, BENCHMARKS.md), so
+            # f32-exact ordering must be reachable on bf16 stores too
+            # (VERDICT r3 item 7). float32 stores are already exact.
             rerank_active = (rerank and
-                             self.config.storage_dtype in ("int8", "int4"))
+                             self.config.storage_dtype != "float32")
             over = int(self.config.ann_params.get("rerank_oversample", 4))
             k_engine = (min(self._count, k_eff * max(over, 1))
                         if rerank_active else k_eff)
@@ -655,10 +680,10 @@ class TPUVectorStore:
             # big-k kernel. The exact engine also handles the filtered
             # oversample (k*10) natively via its mask stream.
             # tombstones post-filter out of ANN results like metadata
-            # filters, so they share the k*10 oversample
-            post_filtered = bool(filter_metadata) or bool(self._deleted)
-            fetch_k = min(self._count, k_engine * 10) if post_filtered \
-                else k_engine
+            # filters, so they share the k*10 oversample — scaled up as
+            # the live fraction drops (_post_filter_fetch_k)
+            fetch_k = self._post_filter_fetch_k(
+                k_engine, bool(filter_metadata))
             ivf_large_k = (self._ann_kind == "ivf" and fetch_k > 32)
             # pathological-selectivity routing (r3): when the filter keeps
             # few rows, the ANN k*10 oversample returns ~selectivity*10*k
@@ -679,6 +704,16 @@ class TPUVectorStore:
                     "filter_exact_selectivity", 0.05)
                 live = float(host_mask[:max(self._count, 1)].sum())
                 low_sel_filter = live < sel_threshold * self._count
+            elif self._deleted:
+                # heavy-deletion routing (VERDICT r3 item 5): a mostly-
+                # tombstoned store serves ANN results that post-filter to
+                # fewer than k live hits even under the scaled oversample,
+                # while the masked exact scan is exact at UNCHANGED cost
+                # (the live mask streams with the db blocks — measured
+                # free, BENCHMARKS.md "Filtered queries")
+                live_frac = live_total / max(self._count, 1)
+                low_sel_filter = live_frac < self.config.ann_params.get(
+                    "deleted_exact_live_frac", 0.25)
             # auto-mode batch routing (BENCHMARKS.md): at 1M x 768D batch-64
             # the exact sweep measures 4.43 ms vs IVF's 9.59 ms — one HBM
             # sweep amortized over the batch beats 64x nprobe bucket
@@ -727,23 +762,32 @@ class TPUVectorStore:
                       k: int) -> list:
         """Re-score each query's candidate list against the ORIGINAL f32
         rows (host matmul, O(candidates*d) per query) and return the
-        exact top-k. Quantized stores are cosine-only, so scores are the
-        true f32 cosine."""
+        exact top-k in the store's raw-score convention (cosine: clipped
+        similarity; euclidean: distance, ascending; dot: score).
+        Quantized stores are cosine-only; bf16 stores rerank under any
+        metric."""
         out = []
         for qi, (indices, _scores, metas) in enumerate(results):
             if not indices:
                 out.append((indices, _scores, metas))
                 continue
             rows = self._host_buf[np.asarray(indices)].astype(np.float32)
-            rows = rows / np.maximum(
-                np.linalg.norm(rows, axis=1, keepdims=True), 1e-8)
             q = queries[qi].astype(np.float32)
-            q = q / max(float(np.linalg.norm(q)), 1e-8)
-            exact = rows @ q
-            order = np.argsort(-exact)[:k]
+            if self.metric == "cosine":
+                rows = rows / np.maximum(
+                    np.linalg.norm(rows, axis=1, keepdims=True), 1e-8)
+                q = q / max(float(np.linalg.norm(q)), 1e-8)
+                exact = np.clip(rows @ q, -1.0, 1.0)
+                order = np.argsort(-exact)[:k]
+            elif self.metric == "euclidean":
+                exact = np.linalg.norm(rows - q, axis=1)
+                order = np.argsort(exact)[:k]
+            else:  # dot
+                exact = rows @ q
+                order = np.argsort(-exact)[:k]
             out.append((
                 [indices[j] for j in order],
-                [float(np.clip(exact[j], -1.0, 1.0)) for j in order],
+                [float(exact[j]) for j in order],
                 [metas[j] for j in order]))
         return out
 
@@ -966,12 +1010,27 @@ class TPUVectorStore:
         # lane tile) — queries must match the stored width
         return D.pad_dim(q, multiple=256 if self._quant4 else 128)
 
+    def _post_filter_fetch_k(self, k: int, filtered: bool) -> int:
+        """Oversampled ANN fetch size for post-filtered queries: the
+        reference's k*10 heuristic (optimized_vector_store.py:123),
+        scaled up as tombstone density rises — at live fraction f an ANN
+        fetch post-filters to ~f*fetch live hits, so the oversample grows
+        ~1/f (capped at 10x the base, i.e. live_frac floor 0.1; below
+        the deleted_exact_live_frac routing threshold the masked exact
+        scan serves the query instead)."""
+        if not (filtered or self._deleted):
+            return k
+        live_frac = ((self._count - len(self._deleted))
+                     / max(self._count, 1))
+        return int(min(self._count,
+                       math.ceil(k * 10 / max(live_frac, 0.1))))
+
     def _ann_batch_query(self, arr: np.ndarray, k: int,
                          filter_metadata: dict | None):
         # oversample under filters AND tombstones, parity with reference
-        # k*10 heuristic (deleted ids post-filter exactly like filters)
-        fetch_k = (min(self._count, k * 10)
-                   if filter_metadata or self._deleted else k)
+        # k*10 heuristic (deleted ids post-filter exactly like filters),
+        # scaled by tombstone density
+        fetch_k = self._post_filter_fetch_k(k, bool(filter_metadata))
         labels, keys = self._ann_search(self._prepare_queries(arr), fetch_k)
         out = []
         for row_labels, row_keys in zip(labels, keys):
@@ -1008,9 +1067,13 @@ class TPUVectorStore:
         NOTE: compaction REMAPS row ids (ids are positional). Callers that
         track external ids should use compact() directly for the
         old->new remap, or avoid optimize() while tombstones exist."""
+        # defer the ANN rebuild to the single _refresh_ann below — compact's
+        # own rebuild would double a minutes-scale TPU build (advisor
+        # finding); the remap is discarded here, skip building it
         compacted = 0
         if self._deleted:
-            compacted = self.compact()["compacted"]
+            compacted = self.compact(rebuild_ann=False,
+                                     want_remap=False)["compacted"]
         t0 = time.perf_counter()
         with self._lock:
             target = self._capacity_for(max(self._count, 1))
