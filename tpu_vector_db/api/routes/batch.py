@@ -141,7 +141,14 @@ class BatchOperationManager:
         delay = 1.0
         for attempt in range(attempts):
             try:
-                async with aiohttp.ClientSession() as session:
+                # _public_only_connector re-checks DNS results at CONNECT
+                # time: the submission-time validate_callback_url and this
+                # delivery resolve independently, so a short-TTL rebinding
+                # record could otherwise pass validation and then point at
+                # loopback/metadata services when the webhook fires
+                # (advisor TOCTOU finding)
+                async with aiohttp.ClientSession(
+                        connector=_public_only_connector()) as session:
                     async with session.post(
                             op.callback_url, json=payload,
                             timeout=aiohttp.ClientTimeout(total=10)) as resp:
@@ -160,22 +167,67 @@ def get_op_manager(app: web.Application) -> BatchOperationManager:
     return app["batch_ops"]  # registered by create_app
 
 
+def _is_internal_ip(ip_str: str) -> bool:
+    import ipaddress
+    ip = ipaddress.ip_address(str(ip_str).split("%")[0])
+    return (ip.is_private or ip.is_loopback or ip.is_link_local
+            or ip.is_reserved or ip.is_multicast or ip.is_unspecified)
+
+
+def _allow_private_webhooks() -> bool:
+    import os
+    return os.environ.get("VECTOR_DB_WEBHOOK_ALLOW_PRIVATE", "0") == "1"
+
+
+def _public_only_connector():
+    """aiohttp TCPConnector whose resolver drops private/internal DNS
+    results at connect time — the delivery-time half of the SSRF defence
+    (validate_callback_url is the submission-time half). With the
+    allow-private env set, returns a default connector."""
+    import socket
+
+    import aiohttp
+    from aiohttp.resolver import DefaultResolver
+
+    if _allow_private_webhooks():
+        return aiohttp.TCPConnector()
+
+    class _PublicOnlyResolver(aiohttp.abc.AbstractResolver):
+        def __init__(self) -> None:
+            self._inner = DefaultResolver()
+
+        async def resolve(self, host, port=0, family=socket.AF_INET):
+            infos = await self._inner.resolve(host, port, family)
+            safe = [i for i in infos if not _is_internal_ip(i["host"])]
+            if not safe:
+                raise OSError(
+                    f"webhook host {host!r} resolves only to "
+                    "private/internal addresses (rejected at connect time)")
+            return safe
+
+        async def close(self) -> None:
+            await self._inner.close()
+
+    return aiohttp.TCPConnector(resolver=_PublicOnlyResolver())
+
+
 def validate_callback_url(url: str) -> None:
     """Reject SSRF-able webhook targets: the server POSTs the completion
     payload to this URL from its own network position, so any API-key
     holder could otherwise aim it at link-local metadata services or
     internal endpoints (review finding). http(s) only; hosts resolving to
     private/loopback/link-local ranges 400 unless
-    VECTOR_DB_WEBHOOK_ALLOW_PRIVATE=1 (dev/webhook-to-self setups)."""
-    import ipaddress
-    import os
+    VECTOR_DB_WEBHOOK_ALLOW_PRIVATE=1 (dev/webhook-to-self setups).
+    This is the submission-time check; _public_only_connector re-checks
+    the actually-resolved addresses at delivery time (DNS-rebinding
+    TOCTOU, advisor finding)."""
     import socket
     from urllib.parse import urlparse
 
     p = urlparse(url)
     if p.scheme not in ("http", "https") or not p.hostname:
         raise web.HTTPBadRequest(reason="callback_url must be http(s)")
-    if os.environ.get("VECTOR_DB_WEBHOOK_ALLOW_PRIVATE", "0") == "1":
+    if _allow_private_webhooks():
         return
     try:
         infos = socket.getaddrinfo(p.hostname, None)
@@ -183,9 +235,7 @@ def validate_callback_url(url: str) -> None:
         raise web.HTTPBadRequest(
             reason="callback_url host does not resolve")
     for info in infos:
-        ip = ipaddress.ip_address(str(info[4][0]).split("%")[0])
-        if (ip.is_private or ip.is_loopback or ip.is_link_local
-                or ip.is_reserved or ip.is_multicast or ip.is_unspecified):
+        if _is_internal_ip(info[4][0]):
             raise web.HTTPBadRequest(
                 reason="callback_url resolves to a private/internal "
                        "address (set VECTOR_DB_WEBHOOK_ALLOW_PRIVATE=1 "

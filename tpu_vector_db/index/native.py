@@ -1,76 +1,49 @@
 """ctypes bridge to the native graph builder (native/graph_builder.cpp).
 
-Compiles the shared library on first use (g++ is part of the image), caches
-it next to the source, and degrades cleanly to the TPU builder when no
-compiler is available.
+Compiles the shared library on first use via the shared NativeLib loader
+(content-hash staleness — binaries are never committed and a stale build
+never loads; advisor finding), and degrades cleanly to the TPU builder
+when no compiler is available.
 """
 
 from __future__ import annotations
 
 import ctypes
 import logging
-import subprocess
-import threading
-from pathlib import Path
 
 import numpy as np
 
+from tpu_vector_db.pipeline._native import NativeLib
+
 logger = logging.getLogger(__name__)
 
-_SRC = Path(__file__).resolve().parent.parent.parent / "native" / "graph_builder.cpp"
-_LIB = _SRC.with_name("libvdbgraph.so")
-_lock = threading.Lock()
-_lib: ctypes.CDLL | None = None
-_tried = False
+
+def _register(lib: ctypes.CDLL) -> None:
+    lib.build_graph.restype = ctypes.c_int
+    lib.build_graph.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_float,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+    ]
+    lib.extend_graph.restype = ctypes.c_int
+    lib.extend_graph.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_float,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+    ]
 
 
-def _compile() -> bool:
-    base = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
-            "-funroll-loops", "-fopenmp-simd", str(_SRC), "-o", str(_LIB)]
-    # -march=native + omp-simd vectorize the distance reductions (4-8x);
-    # fall back for compilers/targets that reject them. NOT -ffast-math:
-    # linking crtfastmath.o flips the process-wide FTZ/DAZ flags on dlopen.
-    for extra in (["-march=native", "-ffp-contract=fast"], []):
-        try:
-            subprocess.run(base[:-3] + extra + base[-3:], check=True,
-                           capture_output=True, timeout=120)
-            return True
-        except (subprocess.SubprocessError, FileNotFoundError) as exc:
-            last = exc
-    logger.warning("native graph builder unavailable (%s)", last)
-    return False
+# -funroll-loops + -fopenmp-simd vectorize the distance reductions (4-8x)
+_NATIVE = NativeLib("graph_builder.cpp", "libvdbgraph.so", _register,
+                    extra_flags=("-funroll-loops", "-fopenmp-simd"))
 
 
 def load() -> ctypes.CDLL | None:
-    global _lib, _tried
-    with _lock:
-        if _lib is not None or _tried:
-            return _lib
-        _tried = True
-        if not _SRC.exists():
-            return None
-        if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
-            if not _compile():
-                return None
-        lib = ctypes.CDLL(str(_LIB))
-        lib.build_graph.restype = ctypes.c_int
-        lib.build_graph.argtypes = [
-            ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
-            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_float,
-            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
-            ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
-        ]
-        lib.extend_graph.restype = ctypes.c_int
-        lib.extend_graph.argtypes = [
-            ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
-            ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            ctypes.c_float,
-            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
-            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
-            ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
-        ]
-        _lib = lib
-        return _lib
+    return _NATIVE.load()
 
 
 def available() -> bool:

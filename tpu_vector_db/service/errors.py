@@ -106,6 +106,18 @@ class ValidationError(VectorDBError):
     severity = ErrorSeverity.LOW
 
 
+class PeerLostError(VectorDBError):
+    """Multi-host serving: a cross-process collective did not complete
+    within the watchdog window — the peer process is presumed dead and
+    this node can no longer execute sharded device programs (every SPMD
+    program needs all processes). The API maps this to a clean 503;
+    recovery is a restart of the serving group (jax.distributed meshes
+    cannot re-admit a process mid-session)."""
+
+    category = ErrorCategory.NETWORK
+    severity = ErrorSeverity.CRITICAL
+
+
 def classify_exception(exc: Exception) -> tuple[ErrorCategory, ErrorSeverity]:
     if isinstance(exc, VectorDBError):
         return exc.category, exc.severity

@@ -19,6 +19,7 @@ from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
 
 from tpu_vector_db.service.error_handler import get_error_handler
+from tpu_vector_db.service.errors import PeerLostError
 from tpu_vector_db.store.config import VectorStoreConfig
 from tpu_vector_db.store.vector_store import TPUVectorStore
 
@@ -45,6 +46,17 @@ class VectorStoreManager:
             max_workers=max_workers, thread_name_prefix="vdb-worker")
         self.errors = get_error_handler()
         self._sharded = sharded
+        # multi-host serving watchdog: when a peer process dies, every
+        # cross-process collective HANGS (an SPMD program needs all
+        # processes) — the survivor must degrade with a bounded 503, not
+        # hang request threads forever. Active only under the DCN
+        # bootstrap env; the timeout must exceed the slowest legitimate
+        # device program (axon first-compiles run minutes — warmup at
+        # startup, and raise this env for cold-serving setups).
+        self._multihost = bool(os.environ.get("VECTOR_DB_COORDINATOR"))
+        self._collective_timeout_s = float(os.environ.get(
+            "VECTOR_DB_COLLECTIVE_TIMEOUT_S", "120"))
+        self.peer_lost = False
 
     # ------------------------------------------------------------ lifecycle
 
@@ -200,6 +212,57 @@ class VectorStoreManager:
 
     # ---------------------------------------------------------- async wraps
 
+    async def _dispatch(self, fn):
+        """Run device work in the executor. Under multi-host serving the
+        call is bounded by the collective watchdog: a timeout latches
+        peer_lost, the request 503s cleanly, and every later call
+        fast-fails without touching the device (the wedged collective's
+        worker thread is unrecoverable — jax.distributed cannot re-admit
+        a process; recovery is a serving-group restart)."""
+        if self._multihost and self.peer_lost:
+            raise PeerLostError(
+                "node degraded: a peer process was lost mid-serving; "
+                "restart the serving group")
+        loop = asyncio.get_running_loop()
+        fut = loop.run_in_executor(self.executor, fn)
+        if not self._multihost:
+            return await fut
+        try:
+            return await asyncio.wait_for(
+                fut, timeout=self._collective_timeout_s)
+        except asyncio.TimeoutError:
+            self.peer_lost = True
+            logger.critical(
+                "distributed collective exceeded %.0fs — peer process "
+                "presumed dead; node degraded",
+                self._collective_timeout_s)
+            raise PeerLostError(
+                f"distributed collective exceeded "
+                f"{self._collective_timeout_s:.0f}s — peer process "
+                "presumed dead; node degraded (restart the serving group)")
+        except Exception as exc:  # noqa: BLE001 — classify, then re-raise
+            # some backends FAIL the collective instead of hanging (CPU
+            # mesh: "Gloo AllGather failed: Connection closed by peer";
+            # coordination-service heartbeat errors on DCN) — same peer
+            # death, different symptom
+            if self._is_peer_failure(exc):
+                self.peer_lost = True
+                logger.critical("distributed collective failed (%s) — "
+                                "peer process presumed dead; node degraded",
+                                exc)
+                raise PeerLostError(
+                    f"distributed collective failed ({exc}); node degraded "
+                    "(restart the serving group)") from exc
+            raise
+
+    @staticmethod
+    def _is_peer_failure(exc: Exception) -> bool:
+        text = repr(exc).lower()
+        return any(marker in text for marker in (
+            "connection closed by peer", "gloo", "coordination service",
+            "heartbeat", "connection reset", "all-gather failed",
+            "allgather failed", "collective"))
+
     async def add_vectors_async(self, user_id: str, model_id: str,
                                 vectors, metadata=None) -> dict:
         # lazy creation infers the dimension from the payload (parity with
@@ -217,34 +280,28 @@ class VectorStoreManager:
             except (ValueError, TypeError):
                 pass  # malformed payload: let add_vectors raise its 400
         store = self.get_store(user_id, model_id, config)
-        loop = asyncio.get_running_loop()
         # per-tenant breaker: one tenant's failing store must not trip
         # every tenant (error_handler.breaker docstring)
         breaker = self.errors.breaker(
             f"vector_add:{user_id}/{model_id}")
-        return await loop.run_in_executor(
-            self.executor,
+        return await self._dispatch(
             lambda: breaker.call(store.add_vectors, vectors, metadata))
 
     async def delete_vectors_async(self, user_id: str, model_id: str,
                                    indices) -> dict:
         store = self.get_store(user_id, model_id, create=False)
-        loop = asyncio.get_running_loop()
         breaker = self.errors.breaker(
             f"vector_delete:{user_id}/{model_id}")
-        return await loop.run_in_executor(
-            self.executor,
+        return await self._dispatch(
             lambda: breaker.call(store.delete_vectors, indices))
 
     async def query_async(self, user_id: str, model_id: str, query_vector,
                           k: int = 10, filter_metadata=None,
                           use_ann: bool = True, rerank: bool = False):
         store = self.get_store(user_id, model_id, create=False)
-        loop = asyncio.get_running_loop()
         breaker = self.errors.breaker(
             f"vector_query:{user_id}/{model_id}")
-        return await loop.run_in_executor(
-            self.executor,
+        return await self._dispatch(
             lambda: breaker.call(store.query, query_vector, k,
                                  filter_metadata, use_ann, rerank))
 
@@ -253,11 +310,9 @@ class VectorStoreManager:
                                 filter_metadata=None, use_ann: bool = True,
                                 rerank: bool = False):
         store = self.get_store(user_id, model_id, create=False)
-        loop = asyncio.get_running_loop()
         breaker = self.errors.breaker(
             f"vector_query:{user_id}/{model_id}")
-        return await loop.run_in_executor(
-            self.executor,
+        return await self._dispatch(
             lambda: breaker.call(store.batch_query, query_vectors, k,
                                  filter_metadata, use_ann, rerank))
 
