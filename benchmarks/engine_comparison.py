@@ -106,12 +106,22 @@ def main() -> None:
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--path", default="/tmp/tpu_vdb_engine_cmp")
+    ap.add_argument("--torch-only", action="store_true",
+                    help="run only the external torch-CPU baseline (lets the"
+                         " 1-core host produce the cross-engine row at the"
+                         " full 1M x 768D contract scale without also paying"
+                         " for the in-framework CPU sweeps)")
     args = ap.parse_args()
 
     rng = np.random.default_rng(0)
     vectors = rng.standard_normal((args.n, args.dim)).astype(np.float32)
     queries = rng.standard_normal((args.batch, args.dim)).astype(np.float32)
     base = Path(args.path)
+
+    if args.torch_only:
+        row = bench_torch(vectors, queries, args.k)
+        print(json.dumps([row] if row else []))
+        return
 
     rows = []
     rows.append(bench_store(

@@ -46,6 +46,15 @@ def log(msg):
 def make_data(kind: str, n: int, d: int, rng):
     if kind == "uniform":
         x = rng.standard_normal((n, d)).astype(np.float32)
+    elif kind == "tight":
+        # the adversarial serving regime from benchmarks/beam_build_tpu.py:
+        # ~1K rows per cluster, 0.15 noise, unit-normalized — same-cluster
+        # neighbors nearly tie, cluster-bridging edges are scarce
+        centers = max(n // 1000, 64)
+        mu = rng.standard_normal((centers, d)).astype(np.float32)
+        x = (mu[rng.integers(0, centers, n)]
+             + 0.15 * rng.standard_normal((n, d))).astype(np.float32)
+        x /= np.maximum(np.linalg.norm(x, axis=-1, keepdims=True), 1e-8)
     else:
         centers = max(n // 2000, 32)
         mu = rng.standard_normal((centers, d)).astype(np.float32) * 3
@@ -120,7 +129,7 @@ def main():
     cases = ([("uniform", 5000, 64), ("clustered", 20000, 128)]
              if args.quick else
              [("uniform", 20000, 64), ("uniform", 100000, 64),
-              ("clustered", 300000, 768)])
+              ("clustered", 300000, 768), ("tight", 300000, 768)])
     if args.case is not None:
         cases = [cases[args.case]]
     rows = [run_case(kind, n, d, rng) for kind, n, d in cases]
