@@ -99,6 +99,34 @@ def bench_faiss(vectors, queries, k) -> dict | None:
             "qps_batched": round(len(queries) / dt, 1), "p50_ms": None}
 
 
+#: In-framework engines, name -> VectorStoreConfig factory(dim).  Shared
+#: with the interactive comparison app (benchmarks/compare_app.py), the
+#: role of the reference's Gradio engine-checkbox list
+#: (benchmarks/benchmark_app.py:180).
+STORE_ENGINES = {
+    "flat-xla": lambda dim: VectorStoreConfig(
+        dimension=dim, persist_mode="off", use_pallas=False),
+    "flat-pallas": lambda dim: VectorStoreConfig(
+        dimension=dim, persist_mode="off"),
+    "flat-bf16": lambda dim: VectorStoreConfig(
+        dimension=dim, persist_mode="off", storage_dtype="bfloat16"),
+    "ann-beam-graph": lambda dim: VectorStoreConfig(
+        dimension=dim, persist_mode="off", enable_ann=True,
+        ann_params={"index_type": "beam_graph"}),
+    "ann-ivf": lambda dim: VectorStoreConfig(
+        dimension=dim, persist_mode="off", enable_ann=True,
+        ann_params={"index_type": "ivf", "min_rows": 0}),
+    "auto-routed": lambda dim: VectorStoreConfig(
+        dimension=dim, persist_mode="off", enable_ann=True,
+        ann_params={"index_type": "auto"}),
+    "flat-int8": lambda dim: VectorStoreConfig(
+        dimension=dim, persist_mode="off", storage_dtype="int8"),
+    "ivf-int8-gather": lambda dim: VectorStoreConfig(
+        dimension=dim, persist_mode="off", storage_dtype="int8",
+        enable_ann=True, ann_params={"index_type": "ivf", "min_rows": 0}),
+}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=50_000)
@@ -124,43 +152,9 @@ def main() -> None:
         return
 
     rows = []
-    rows.append(bench_store(
-        "flat-xla", VectorStoreConfig(dimension=args.dim, persist_mode="off",
-                                      use_pallas=False),
-        vectors, queries, args.k, base))
-    rows.append(bench_store(
-        "flat-pallas", VectorStoreConfig(dimension=args.dim,
-                                         persist_mode="off"),
-        vectors, queries, args.k, base))
-    rows.append(bench_store(
-        "flat-bf16", VectorStoreConfig(dimension=args.dim, persist_mode="off",
-                                       storage_dtype="bfloat16"),
-        vectors, queries, args.k, base))
-    rows.append(bench_store(
-        "ann-beam-graph", VectorStoreConfig(
-            dimension=args.dim, persist_mode="off", enable_ann=True,
-            ann_params={"index_type": "beam_graph"}),
-        vectors, queries, args.k, base))
-    rows.append(bench_store(
-        "ann-ivf", VectorStoreConfig(
-            dimension=args.dim, persist_mode="off", enable_ann=True,
-            ann_params={"index_type": "ivf", "min_rows": 0}),
-        vectors, queries, args.k, base))
-    rows.append(bench_store(
-        "auto-routed", VectorStoreConfig(
-            dimension=args.dim, persist_mode="off", enable_ann=True,
-            ann_params={"index_type": "auto"}),
-        vectors, queries, args.k, base))
-    rows.append(bench_store(
-        "flat-int8", VectorStoreConfig(
-            dimension=args.dim, persist_mode="off", storage_dtype="int8"),
-        vectors, queries, args.k, base))
-    rows.append(bench_store(
-        "ivf-int8-gather", VectorStoreConfig(
-            dimension=args.dim, persist_mode="off", storage_dtype="int8",
-            enable_ann=True,
-            ann_params={"index_type": "ivf", "min_rows": 0}),
-        vectors, queries, args.k, base))
+    for name, cfg_for in STORE_ENGINES.items():
+        rows.append(bench_store(name, cfg_for(args.dim),
+                                vectors, queries, args.k, base))
     for ext in (bench_torch(vectors, queries, args.k),
                 bench_faiss(vectors, queries, args.k)):
         if ext:

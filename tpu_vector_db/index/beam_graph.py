@@ -147,7 +147,10 @@ def alpha_prune(queries, db, cand_ids, cand_keys, R: int, metric: str,
     cand_keys, order = jax.lax.top_k(cand_keys, efc)
     cand_ids = jnp.take_along_axis(cand_ids, order, axis=1)
     safe = jnp.maximum(cand_ids, 0)
-    rows = db[safe].astype(jnp.float32)                    # (B, efc, d)
+    # pairwise scores in the db's native dtype (bf16 on TPU stores): the
+    # MXU's bf16 path is the fast one, and prune decisions are threshold
+    # comparisons with slack far above bf16 eps — accumulate in f32
+    rows = db[safe]                                        # (B, efc, d)
     cross = jnp.einsum("bcd,bed->bce", rows, rows,
                        preferred_element_type=jnp.float32)
     if metric == "euclidean":
@@ -244,8 +247,7 @@ def _reverse_update(graph, ekeys, db, ids, n_ids, n_keys, sqnorms, *,
         cuv, ceids, cekeys = c
         cand = jnp.concatenate([graph[cuv], ceids], axis=1)
         candk = jnp.concatenate([ekeys[cuv], cekeys], axis=1)
-        bq = db[cuv].astype(jnp.float32)
-        return alpha_prune(bq, db, cand, candk, R, metric,
+        return alpha_prune(db[cuv], db, cand, candk, R, metric,
                            sqnorms=sqnorms, alpha=alpha)
 
     # chunked: alpha_prune materializes (rows, width, d) gathers; bound VMEM
@@ -283,7 +285,9 @@ def _device_insert_scan(graph, ekeys, db, starts, count0, entries, sqnorms,
         graph, ekeys = carry
         count = start if insert_mode else count0
         ids = start + jnp.arange(B, dtype=jnp.int32)
-        queries = db[ids].astype(jnp.float32)
+        # score in db-native dtype (bf16 on TPU): build scores only RANK
+        # candidates; bf16 ranking noise is far below the pruning slack
+        queries = db[ids]
         cand_ids, cand_keys = beam_search(
             queries, db, graph, entries, count, k=efc, ef=efc,
             beam_width=bw, iters=iters, metric=metric, sqnorms=sqnorms)
@@ -315,9 +319,12 @@ def _device_insert_scan(graph, ekeys, db, starts, count0, entries, sqnorms,
     return graph, ekeys
 
 
-def _chunk_for(e: int, limit: int = 512) -> int:
-    """Largest divisor of e not exceeding limit (VMEM-bounding the reverse
-    re-prune's (chunk, width, d) gather)."""
+def _chunk_for(e: int, limit: int = 4096) -> int:
+    """Largest divisor of e not exceeding limit. Bounds the reverse
+    re-prune's materialized (chunk, width, d) gather; each chunk is a
+    sequential lax.map step, so bigger chunks = fewer serialized steps
+    (r4: 512 -> 4096 removes 6 of 8 serialized map steps per batch at
+    B=256; the (4096, 48, 768) bf16 gather is ~300 MB — HBM, not VMEM)."""
     c = min(e, limit)
     while e % c:
         c -= 1
@@ -332,8 +339,14 @@ class BeamGraphIndex:
 
     def __init__(self, dim: int, metric: str = "cosine", M: int = 16,
                  ef_construction: int = 200, entry_count: int = 8,
-                 alpha: float = 1.2, batch_size: int = 256,
+                 alpha: float = 1.2, batch_size: int = 512,
                  seed: int = 0) -> None:
+        # batch_size 512 (r4, was 256): the per-batch cost is dominated by
+        # SEQUENTIAL structure (beam iterations, the alpha-prune column
+        # scan, reverse-update map steps) whose step count is independent
+        # of B — doubling B halves the serialized steps per inserted row
+        # at identical FLOPs. Intra-batch nodes don't see each other on
+        # first insert; the refine pass repairs that (same as at 256).
         self.dim = dim
         self.metric = metric
         self.M = int(M)
