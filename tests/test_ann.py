@@ -306,3 +306,78 @@ class TestFusedBuildPaths:
         ids, _ = idx2.search(db[n: n + 8].astype(jnp.float32), db,
                              n + 64, k=1, ef_search=32)
         assert (ids[:, 0] >= 0).all()
+
+
+class TestAlphaPruneEquivalence:
+    """The round-based greedy prune (r4: R scan rounds instead of a scan
+    over every candidate column) must reproduce the original column-walk
+    semantics exactly: walk candidates best-first, keep unless an
+    already-kept neighbor dominates (a * d(kept, c) <= d(base, c)),
+    two-phase alpha. Reference implemented in numpy on the SAME pairwise
+    matrix the kernel computes (accumulation-order differences on
+    borderline comparisons are not semantic)."""
+
+    @pytest.mark.parametrize("metric,alpha", [
+        ("cosine", 1.0), ("cosine", 1.2),
+        ("euclidean", 1.2), ("dot", 1.5)])
+    def test_matches_column_walk(self, rng, metric, alpha):
+        from tpu_vector_db.index.beam_graph import NEG_INF, alpha_prune
+        for trial in range(5):
+            b = int(rng.integers(1, 6))
+            w = int(rng.integers(8, 40))
+            R = int(rng.integers(2, 12))
+            d = 16
+            db = rng.standard_normal((200, d)).astype(np.float32)
+            if metric == "cosine":
+                db /= np.linalg.norm(db, axis=-1, keepdims=True)
+            q = db[rng.integers(0, 200, b)]
+            ids = rng.integers(0, 200, (b, w)).astype(np.int32)
+            ids[:, -2:] = ids[:, :2]          # duplicates
+            ids[rng.random((b, w)) < 0.1] = -1  # invalid slots
+            sq = (db ** 2).sum(-1)
+            safe0 = np.maximum(ids, 0)
+            if metric == "euclidean":
+                keys = -(((q[:, None, :] - db[safe0]) ** 2).sum(-1))
+            else:
+                keys = np.einsum("bd,bwd->bw", q, db[safe0])
+            keys = np.where(ids >= 0, keys, NEG_INF).astype(np.float32)
+
+            out_ids, _ = alpha_prune(
+                jnp.asarray(q), jnp.asarray(db), jnp.asarray(ids),
+                jnp.asarray(keys), R, metric,
+                sqnorms=jnp.asarray(sq), alpha=alpha)
+            out = np.sort(np.asarray(out_ids), axis=1)
+
+            # reference column walk on the kernel's own pairwise matrix
+            order = np.argsort(-keys, axis=1, kind="stable")
+            s_ids = np.take_along_axis(ids, order, 1)
+            s_keys = np.take_along_axis(keys, order, 1)
+            safe = np.maximum(s_ids, 0)
+            rows = db[safe].astype(np.float32)
+            cross = np.asarray(jnp.einsum(
+                "bcd,bed->bce", jnp.asarray(rows), jnp.asarray(rows),
+                preferred_element_type=jnp.float32))
+            if metric == "euclidean":
+                pd_ = sq[safe][:, :, None] - 2 * cross + sq[safe][:, None, :]
+                base = -s_keys
+            elif metric == "cosine":
+                pd_ = 1.0 - cross
+                base = 1.0 - s_keys
+            else:
+                pd_ = -cross
+                base = -s_keys
+            kept = np.zeros((b, w), bool)
+            valid = s_ids >= 0
+            for a in ([1.0, alpha] if alpha > 1.0 else [1.0]):
+                for i in range(w):
+                    viol = (kept & (a * pd_[:, :, i] <= base[:, i:i + 1])
+                            ).any(1)
+                    ok = valid[:, i] & ~viol & (kept.sum(1) < R)
+                    kept[:, i] |= ok
+            sort_key = np.where(kept, s_keys, NEG_INF)
+            pos = np.argsort(-sort_key, axis=1, kind="stable")[:, :R]
+            ref_keys = np.take_along_axis(sort_key, pos, 1)
+            ref = np.where(ref_keys == NEG_INF, -1,
+                           np.take_along_axis(s_ids, pos, 1))
+            assert np.array_equal(out, np.sort(ref, axis=1)), (
+                metric, alpha, trial)

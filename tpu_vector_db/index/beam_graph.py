@@ -166,17 +166,34 @@ def alpha_prune(queries, db, cand_ids, cand_keys, R: int, metric: str,
 
     width = cand_ids.shape[1]
     valid = cand_ids >= 0
-    col = jnp.arange(width)
+    rows_b = jnp.arange(b)
 
-    def make_body(a):
-        def body(kept, i):
-            # violation: some kept j has a * d(j, i) <= d(base, i)
-            viol = (kept & (a * pdist[:, :, i] <= base_dist[:, i][:, None])
-                    ).any(axis=1)
-            ok = valid[:, i] & ~viol & (jnp.sum(kept, axis=1) < R)
-            kept = kept.at[:, i].max(ok)  # bool OR: stays kept once kept
-            return kept, None
-        return body
+    # ROUND-BASED greedy prune (r4): the column walk (scan over all `width`
+    # candidates, twice) serialized 2*width ~ 400 tiny device steps per
+    # prune and dominated the build's wall clock. Equivalent reformulation:
+    # each round keeps exactly the BEST still-un-dominated candidate (ties
+    # break to the lower sorted index, same as the walk) and marks what it
+    # dominates by gathering ONE row of the precomputed pairwise matrix —
+    # a candidate rejected by the walk is dominated by a subset of the
+    # current kept set, and domination is monotone in the kept set, so the
+    # round pick sequence is exactly the walk's keep sequence. R rounds
+    # replace `width` columns: 16 + 16 scan steps instead of ~400.
+    def prune_rounds(a, kept, dominated):
+        def body(state, _):
+            kept, dominated = state
+            cap = jnp.sum(kept, axis=1) < R
+            mask = valid & ~kept & ~dominated & cap[:, None]
+            mkeys = jnp.where(mask, cand_keys, NEG_INF)
+            pick = jnp.argmax(mkeys, axis=1)                    # (B,)
+            ok = jnp.take_along_axis(mkeys, pick[:, None], 1)[:, 0] > NEG_INF
+            kept = kept.at[rows_b, pick].max(ok)
+            # what the new keep dominates: a * d(pick, i) <= d(base, i)
+            prow = pdist[rows_b, pick, :]                       # (B, width)
+            dominated = dominated | ((a * prow <= base_dist) & ok[:, None])
+            return (kept, dominated), None
+        (kept, dominated), _ = jax.lax.scan(
+            body, (kept, dominated), None, length=R)
+        return kept
 
     # TWO-PHASE prune (Vamana/DiskANN): pass 1 at alpha=1 builds the sparse
     # RNG skeleton — on clustered data it covers away most same-cluster
@@ -184,10 +201,14 @@ def alpha_prune(queries, db, cand_ids, cand_keys, R: int, metric: str,
     # alpha>1 relaxes coverage to fill remaining slots with shortcuts.
     # Single-phase alpha>1 filled every slot with near neighbors and
     # disconnected clusters (measured recall 0.61 vs entry-coverage bound).
-    kept, _ = jax.lax.scan(
-        make_body(1.0), jnp.zeros((b, width), jnp.bool_), col)
+    zeros = jnp.zeros((b, width), jnp.bool_)
+    kept = prune_rounds(1.0, zeros, zeros)
     if alpha > 1.0:
-        kept, _ = jax.lax.scan(make_body(alpha), kept, col)
+        # phase 2 re-examines every candidate under the relaxed alpha:
+        # recompute domination by the phase-1 kept set at the new alpha
+        dom2 = ((alpha * pdist <= base_dist[:, None, :])
+                & kept[:, :, None]).any(axis=1)
+        kept = prune_rounds(alpha, kept, dom2)
 
     sort_key = jnp.where(kept, cand_keys, NEG_INF)
     top_keys, pos = jax.lax.top_k(sort_key, R)
@@ -617,6 +638,8 @@ class BeamGraphIndex:
     # add() (no refine follows) always uses the full budget. r3 TPU measure:
     # halves the insert-phase cost at equal post-refine recall.
     insert_budget_div = 2
+    # refine pass beam budget divisor (1 = full efc budget). See refine().
+    refine_budget_div = 1
     # extra backlink slots considered per row per batch before re-pruning
     _REVERSE_EXTRA = 16
 
@@ -653,6 +676,19 @@ class BeamGraphIndex:
             batch *= 2
         if n < 32:  # tiny graph: one exact-size window
             batch = n
+        # refine_budget_div > 1 runs the re-search at a reduced beam budget
+        # (iters = efc/bw/div) — measured in-build (r4): refine at the full
+        # budget is 259 ms/batch vs insert's 122, i.e. ~2/3 of total build
+        # time, while recall above ~0.9 is entry-set-limited, not
+        # refine-limited (BENCHMARKS.md r2: entries 1024->4096 lifted the
+        # SAME 1M graph 0.742->0.900)
+        self._iters_div = self.refine_budget_div
+        try:
+            self._refine_passes(db, sqnorms, passes, batch, n)
+        finally:
+            self._iters_div = 1
+
+    def _refine_passes(self, db, sqnorms, passes, batch, n) -> None:
         for _ in range(passes):
             start = 0
             while start < n:
