@@ -286,6 +286,25 @@ class TestFusedBuildPaths:
                             ef_search=32)
         assert (ids[:, 0] >= 0).all()
 
+    def test_entry_cap_widens_large_store_routing(self):
+        # r4 knob: ann_params["entry_cap"] widens the >=512K-row routing
+        # set (8192 measured +0.010 recall at 1M x 768D tight clusters).
+        # Sizing logic only — no million-row build in CI.
+        idx = BeamGraphIndex(dim=16, metric="cosine", M=4,
+                             ef_construction=32, entry_cap=8192)
+        idx._n = 1 << 20
+        assert idx._entry_target() == 8192
+        assert idx._entry_pad() == 8192
+        idx._n = 1000  # small stores keep the cheap 1024 bucket
+        assert idx._entry_pad() == 1024
+        default = BeamGraphIndex(dim=16, metric="cosine", M=4,
+                                 ef_construction=32)
+        default._n = 1 << 20
+        assert default._entry_target() == 4096  # unchanged default
+        floor = BeamGraphIndex(dim=16, metric="cosine", M=4,
+                               ef_construction=32, entry_cap=17)
+        assert floor.entry_cap == 1024  # clamped
+
     def test_add_after_reload_keeps_graph(self, rng, tmp_path):
         n, d = 300, 16
         x = rng.standard_normal((n + 64, d)).astype(np.float32)

@@ -173,8 +173,12 @@ def test_worker_death_degrades_cleanly(tmp_path):
     env_base["VECTOR_DB_API_KEY"] = "mh-test-key"
     env_base["VECTOR_DB_ADMIN_KEY"] = "mh-admin-key"
     # a short watchdog so the first post-kill query 503s fast; the CPU-mesh
-    # programs here complete in well under a second when healthy
-    env_base["VECTOR_DB_COLLECTIVE_TIMEOUT_S"] = "8"
+    # programs complete in well under a second when healthy ALONE, but a
+    # full-suite run on the 1-core host can stall a healthy collective
+    # past 8s and latch peer_lost during SETUP (latching is by design —
+    # no retry recovers), so the watchdog must clear worst-case healthy
+    # contention while staying under the <45s post-kill bound below
+    env_base["VECTOR_DB_COLLECTIVE_TIMEOUT_S"] = "20"
 
     def call(port, path, payload=None, admin=False, timeout=60):
         url = f"http://127.0.0.1:{port}{path}"

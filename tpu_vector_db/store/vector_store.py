@@ -851,7 +851,8 @@ class TPUVectorStore:
             dim=self.config.dimension, metric=self.metric,
             M=p.get("M", 16),
             ef_construction=p.get("ef_construction", 200),
-            alpha=p.get("alpha", 1.2))
+            alpha=p.get("alpha", 1.2),
+            entry_cap=p.get("entry_cap", 4096))
 
     def _ann_search(self, queries_prepared, fetch_k: int):
         """Uniform index dispatch: graph takes ef_search, IVF takes nprobe.
