@@ -640,13 +640,17 @@ class BeamGraphIndex:
     # — a wider beam halves the sequential scan length per inserted batch
     build_beam_width = 4
     # full-build insert pass runs at 1/insert_budget_div of the beam budget
-    # (Vamana-style two-pass: the refine pass re-searches EVERY node at the
-    # full efc budget and re-prunes, repairing the cheaper first pass).
-    # add() (no refine follows) always uses the full budget. r3 TPU measure:
-    # halves the insert-phase cost at equal post-refine recall.
-    insert_budget_div = 2
-    # refine pass beam budget divisor (1 = full efc budget). See refine().
-    refine_budget_div = 1
+    # (Vamana-style two-pass: the refine pass re-searches EVERY node and
+    # re-prunes, repairing the cheaper first pass). add() (no refine
+    # follows) always uses the full budget. r4 TPU measure at div=3 with
+    # refine_budget_div=2: 1M x 768D 686.9s warm (r3 defaults: 871s) at
+    # recall 0.903 @ 4096 entries / 0.913 @ 8192; 300K x 768D 166.8-254s
+    # across chip-drift phases vs 268-387s, recall 0.916-0.921 vs 0.921.
+    insert_budget_div = 3
+    # refine pass beam budget divisor. Phase profiling (r4): full-budget
+    # refine (50 iters, 259 ms/batch) was ~2/3 of build time; half budget
+    # costs ~0-1 recall point at 300K/1M (numbers above). See refine().
+    refine_budget_div = 2
     # extra backlink slots considered per row per batch before re-pruning
     _REVERSE_EXTRA = 16
 
