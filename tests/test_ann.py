@@ -305,6 +305,18 @@ class TestFusedBuildPaths:
                                ef_construction=32, entry_cap=17)
         assert floor.entry_cap == 1024  # clamped
 
+    def test_entry_cap_plumbs_through_store(self, tmp_store_path, rng):
+        from tpu_vector_db.store import TPUVectorStore, VectorStoreConfig
+        cfg = VectorStoreConfig(
+            dimension=16, persist_mode="off", enable_ann=True,
+            ann_params={"index_type": "beam_graph", "min_rows": 0,
+                        "ann_min_rows": 0, "entry_cap": 8192})
+        store = TPUVectorStore(tmp_store_path, cfg)
+        store.add_vectors(
+            rng.standard_normal((300, 16)).astype(np.float32))
+        store.query(np.zeros(16, np.float32), k=3, use_ann=True)
+        assert store._ann is not None and store._ann.entry_cap == 8192
+
     def test_add_after_reload_keeps_graph(self, rng, tmp_path):
         n, d = 300, 16
         x = rng.standard_normal((n + 64, d)).astype(np.float32)
