@@ -317,6 +317,29 @@ class TestFusedBuildPaths:
         store.query(np.zeros(16, np.float32), k=3, use_ann=True)
         assert store._ann is not None and store._ann.entry_cap == 8192
 
+    def test_budget_divs_plumb_through_store(self, tmp_store_path, rng):
+        # r4: uniform low-dim data wants full build budgets (BENCHMARKS
+        # "Round-4 re-measure": fast defaults 0.917 vs full 0.992 at
+        # uniform 100K x 64) — ann_params must reach the index.
+        from tpu_vector_db.store import TPUVectorStore, VectorStoreConfig
+        cfg = VectorStoreConfig(
+            dimension=16, persist_mode="off", enable_ann=True,
+            ann_params={"index_type": "beam_graph", "min_rows": 0,
+                        "ann_min_rows": 0, "insert_budget_div": 1,
+                        "refine_budget_div": 1})
+        store = TPUVectorStore(tmp_store_path, cfg)
+        store.add_vectors(
+            rng.standard_normal((300, 16)).astype(np.float32))
+        store.query(np.zeros(16, np.float32), k=3, use_ann=True)
+        assert store._ann.insert_budget_div == 1
+        assert store._ann.refine_budget_div == 1
+        # defaults untouched when the params are absent
+        assert BeamGraphIndex(dim=16, M=4).insert_budget_div == 3
+        assert BeamGraphIndex(dim=16, M=4).refine_budget_div == 2
+        # and clamped to >=1 when given nonsense
+        assert BeamGraphIndex(dim=16, M=4,
+                              insert_budget_div=0).insert_budget_div == 1
+
     def test_add_after_reload_keeps_graph(self, rng, tmp_path):
         n, d = 300, 16
         x = rng.standard_normal((n + 64, d)).astype(np.float32)

@@ -361,7 +361,9 @@ class BeamGraphIndex:
     def __init__(self, dim: int, metric: str = "cosine", M: int = 16,
                  ef_construction: int = 200, entry_count: int = 8,
                  alpha: float = 1.2, batch_size: int = 512,
-                 entry_cap: int = 4096, seed: int = 0) -> None:
+                 entry_cap: int = 4096, seed: int = 0,
+                 insert_budget_div: int | None = None,
+                 refine_budget_div: int | None = None) -> None:
         # batch_size 512 (r4, was 256): the per-batch cost is dominated by
         # SEQUENTIAL structure (beam iterations, the alpha-prune column
         # scan, reverse-update map steps) whose step count is independent
@@ -381,6 +383,14 @@ class BeamGraphIndex:
         # for ~+5 ms init-gather per batch; keep 4096 default, expose the
         # knob via ann_params["entry_cap"])
         self.entry_cap = max(int(entry_cap), 1024)
+        # build-budget divisors: class attrs hold the fast defaults (r4);
+        # uniform low-dim data wants 1/1 — the fast insert pass under-links
+        # there (uniform 100K x 64: 0.917 vs full-budget 0.992 published).
+        # Plumbed from ann_params like entry_cap.
+        if insert_budget_div is not None:
+            self.insert_budget_div = max(int(insert_budget_div), 1)
+        if refine_budget_div is not None:
+            self.refine_budget_div = max(int(refine_budget_div), 1)
         self._seed = seed
 
         self._n = 0                  # rows currently in the graph

@@ -852,7 +852,9 @@ class TPUVectorStore:
             M=p.get("M", 16),
             ef_construction=p.get("ef_construction", 200),
             alpha=p.get("alpha", 1.2),
-            entry_cap=p.get("entry_cap", 4096))
+            entry_cap=p.get("entry_cap", 4096),
+            insert_budget_div=p.get("insert_budget_div"),
+            refine_budget_div=p.get("refine_budget_div"))
 
     def _ann_search(self, queries_prepared, fetch_k: int):
         """Uniform index dispatch: graph takes ef_search, IVF takes nprobe.
