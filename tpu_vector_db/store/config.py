@@ -27,6 +27,17 @@ class VectorStoreConfig:
         # (performance/hnsw_index.py:44,79): M, ef_construction, ef_search
         "M": 16, "ef_construction": 200, "ef_search": 100,
     })
+    # Other recognized ann_params keys (all optional; see vector_store.py
+    # and BENCHMARKS.md for the measured trade-offs):
+    #   index_type ("auto"|"flat"|"ivf"|"beam_graph"), min_rows,
+    #   auto_flat_rows, auto_batch_flat_q/_rows (auto-routing crossovers),
+    #   build_backend ("tpu"|"cpu"|"auto"), alpha, entry_cap,
+    #   insert_budget_div / refine_budget_div (graph build budgets —
+    #   defaults 3/2 are ~2x faster; set 1/1 on uniform low-dim data:
+    #   0.991 vs 0.917 recall @ uniform 100Kx64),
+    #   n_clusters, nprobe, bucket_rows, train_iters, ivf_layout (IVF),
+    #   rerank_oversample, self_check, recall_floor, recall_warn,
+    #   filter_exact_selectivity, deleted_exact_live_frac (routing guards).
     # TPU storage dtype for the device-resident matrix. bf16 halves HBM
     # traffic (the flat-scan bottleneck) at ~1e-3 score error.
     storage_dtype: str = "float32"
