@@ -34,6 +34,7 @@ import asyncio
 import importlib.util
 import json
 import secrets
+import shutil
 import tempfile
 import threading
 import time
@@ -47,11 +48,16 @@ import sys
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from benchmarks.engine_comparison import (  # noqa: E402
-    STORE_ENGINES, bench_faiss, bench_store, bench_torch)
+    STORE_ENGINES, bench_chromadb, bench_faiss, bench_qdrant, bench_store,
+    bench_torch)
 
 # hard caps so a browser form can't OOM the host (reference caps N at 50K
-# via its slider, benchmark_app.py:181)
+# via its slider, benchmark_app.py:181): N and N*dim are both bounded —
+# the f32 dataset allocation is capped at MAX_DATASET_BYTES (~1 GiB, i.e.
+# 2M rows only up to 128D; 768D tops out at ~349K rows), well inside the
+# 1-core host even with a per-engine store copy alive at once
 MAX_N, MAX_QUERIES, MAX_K = 2_000_000, 2_048, 128
+MAX_DATASET_BYTES = 1 << 30
 DIMS = (64, 128, 384, 768, 1024, 1536)
 
 
@@ -166,6 +172,7 @@ class BenchJob:
             self._state["done"] += 1
 
     def _run(self, params: dict) -> None:
+        base = None
         try:
             rng = np.random.default_rng(0)
             n, dim = params["n"], params["dim"]
@@ -188,6 +195,10 @@ class BenchJob:
                         row = bench_torch(vectors, queries, k)
                     elif name == "faiss-flat":
                         row = bench_faiss(vectors, queries, k)
+                    elif name == "chromadb":
+                        row = bench_chromadb(vectors, queries, k)
+                    elif name == "qdrant":
+                        row = bench_qdrant(vectors, queries, k)
                     else:
                         row = None
                     if row is None:
@@ -207,6 +218,10 @@ class BenchJob:
         except Exception as e:  # noqa: BLE001
             self._set(status="error", current=None,
                       detail=f"{type(e).__name__}: {e}")
+        finally:
+            # scratch stores are per-run; don't leak a dir per benchmark
+            if base is not None:
+                shutil.rmtree(base, ignore_errors=True)
 
 
 def _clamp_params(body: dict) -> dict:
@@ -216,17 +231,28 @@ def _clamp_params(body: dict) -> dict:
         raise web.HTTPBadRequest(text=json.dumps(
             {"error": "no valid engines selected"}),
             content_type="application/json")
-    dim = int(body.get("dim", 384))
+    def _int(key: str, default: int) -> int:
+        try:
+            return int(body.get(key, default))
+        except (TypeError, ValueError):
+            raise web.HTTPBadRequest(text=json.dumps(
+                {"error": f"{key} must be an integer"}),
+                content_type="application/json")
+
+    dim = _int("dim", 384)
     if dim not in DIMS:
         raise web.HTTPBadRequest(text=json.dumps(
             {"error": f"dim must be one of {DIMS}"}),
             content_type="application/json")
+    n = max(100, min(_int("n", 10_000), MAX_N))
+    # bound the f32 dataset allocation, not just the row count (ADVICE r4:
+    # 2M x 1536D would have been ~12 GB on the 1-core host)
+    n = min(n, MAX_DATASET_BYTES // (dim * 4))
     return {"engines": engines,
-            "n": max(100, min(int(body.get("n", 10_000)), MAX_N)),
+            "n": n,
             "dim": dim,
-            "queries": max(1, min(int(body.get("queries", 64)),
-                                  MAX_QUERIES)),
-            "k": max(1, min(int(body.get("k", 10)), MAX_K))}
+            "queries": max(1, min(_int("queries", 64), MAX_QUERIES)),
+            "k": max(1, min(_int("k", 10), MAX_K))}
 
 
 def create_compare_app() -> web.Application:

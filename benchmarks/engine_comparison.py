@@ -83,6 +83,78 @@ def bench_torch(vectors, queries, k) -> dict | None:
             "p50_ms": round(sorted(lat)[len(lat) // 2] * 1e3, 3)}
 
 
+def bench_chromadb(vectors, queries, k) -> dict | None:
+    """In-memory ChromaDB collection (the reference's ChromaDB row,
+    benchmark_app.py flows: add then query_embeddings). Gated: chromadb is
+    not installed in this image; the code path is exercised wherever it is."""
+    try:
+        import chromadb  # gated: not in this image
+    except ImportError:
+        return None
+    client = chromadb.EphemeralClient() if hasattr(chromadb, "EphemeralClient") \
+        else chromadb.Client()
+    col = client.create_collection(
+        "bench", metadata={"hnsw:space": "cosine"})
+    ids = [str(i) for i in range(len(vectors))]
+    t0 = time.perf_counter()
+    # chroma caps add batches (~5461); chunk to stay portable
+    step = 5000
+    for s in range(0, len(vectors), step):
+        col.add(ids=ids[s: s + step],
+                embeddings=vectors[s: s + step].tolist())
+    ingest = len(vectors) / (time.perf_counter() - t0)
+    col.query(query_embeddings=queries[:1].tolist(), n_results=k)  # warm
+    t0 = time.perf_counter()
+    col.query(query_embeddings=queries.tolist(), n_results=k)
+    dt = time.perf_counter() - t0
+    lat = []
+    for i in range(16):
+        t0 = time.perf_counter()
+        col.query(query_embeddings=queries[i % len(queries):
+                                           i % len(queries) + 1].tolist(),
+                  n_results=k)
+        lat.append(time.perf_counter() - t0)
+    return {"engine": "chromadb", "ingest_vps": round(ingest, 1),
+            "qps_batched": round(len(queries) / dt, 1),
+            "p50_ms": round(sorted(lat)[len(lat) // 2] * 1e3, 3)}
+
+
+def bench_qdrant(vectors, queries, k) -> dict | None:
+    """In-memory Qdrant (the reference's Qdrant row: upsert PointStructs,
+    per-query search). Gated: qdrant_client is not installed here."""
+    try:
+        from qdrant_client import QdrantClient
+        from qdrant_client.models import (
+            Distance, PointStruct, VectorParams)
+    except ImportError:
+        return None
+    client = QdrantClient(":memory:")
+    client.create_collection(
+        "bench", vectors_config=VectorParams(
+            size=vectors.shape[1], distance=Distance.COSINE))
+    t0 = time.perf_counter()
+    step = 2000
+    for s in range(0, len(vectors), step):
+        client.upsert("bench", points=[
+            PointStruct(id=s + j, vector=row.tolist())
+            for j, row in enumerate(vectors[s: s + step])])
+    ingest = len(vectors) / (time.perf_counter() - t0)
+    client.search("bench", query_vector=queries[0].tolist(), limit=k)  # warm
+    t0 = time.perf_counter()
+    for q in queries:
+        client.search("bench", query_vector=q.tolist(), limit=k)
+    dt = time.perf_counter() - t0
+    lat = []
+    for i in range(16):
+        t0 = time.perf_counter()
+        client.search("bench", query_vector=queries[i % len(queries)].tolist(),
+                      limit=k)
+        lat.append(time.perf_counter() - t0)
+    return {"engine": "qdrant", "ingest_vps": round(ingest, 1),
+            "qps_batched": round(len(queries) / dt, 1),
+            "p50_ms": round(sorted(lat)[len(lat) // 2] * 1e3, 3)}
+
+
 def bench_faiss(vectors, queries, k) -> dict | None:
     try:
         import faiss  # gated: not in this image
@@ -156,7 +228,9 @@ def main() -> None:
         rows.append(bench_store(name, cfg_for(args.dim),
                                 vectors, queries, args.k, base))
     for ext in (bench_torch(vectors, queries, args.k),
-                bench_faiss(vectors, queries, args.k)):
+                bench_faiss(vectors, queries, args.k),
+                bench_chromadb(vectors, queries, args.k),
+                bench_qdrant(vectors, queries, args.k)):
         if ext:
             rows.append(ext)
     if not any(r["engine"].startswith("faiss") for r in rows):

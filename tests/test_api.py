@@ -638,3 +638,24 @@ def test_get_vectors_by_id(client_factory, rng):
                                          "ids": "abc"})
             assert r.status == 400
     run(go())
+
+
+def test_create_store_over_hbm_budget_413(client_factory, monkeypatch):
+    """expected_rows over the device budget -> clean 413 naming the
+    capacity modes (store/config.py check_device_budget; r4 verdict 8)."""
+    monkeypatch.setenv("VDB_HBM_BYTES", str(64 * 1024 ** 2))  # 64 MiB
+
+    async def go():
+        async with client_factory() as client:
+            r = await client.post("/admin/create_store", headers=ADMIN, json={
+                "user_id": "big", "model_id": "m", "dimension": 768,
+                "expected_rows": 50_000_000})
+            assert r.status == 413
+            body = await r.json()
+            assert "int4" in body["error"]
+            # within budget: created normally
+            r = await client.post("/admin/create_store", headers=ADMIN, json={
+                "user_id": "big", "model_id": "m", "dimension": 768,
+                "expected_rows": 10_000})
+            assert r.status == 201
+    run(go())

@@ -125,3 +125,47 @@ def test_unavailable_engine_reports_unavailable():
 
 if __name__ == "__main__":
     sys.exit(pytest.main([__file__, "-x", "-q"]))
+
+
+def test_non_numeric_params_400_and_dataset_cap():
+    """ADVICE r4: non-numeric n must be a 400 (not a 500), and n*dim is
+    bounded by MAX_DATASET_BYTES."""
+    async def go():
+        async with TestClient(TestServer(create_compare_app())) as client:
+            r = await client.post("/api/run", json={
+                "engines": ["flat-xla"], "n": "abc"})
+            assert r.status == 400
+            r = await client.post("/api/run", json={
+                "engines": ["flat-xla"], "queries": [1, 2]})
+            assert r.status == 400
+
+    run(go())
+
+
+def test_dataset_byte_cap_clamps_n():
+    from benchmarks.compare_app import MAX_DATASET_BYTES, _clamp_params
+    p = _clamp_params({"engines": ["flat-xla"], "n": 2_000_000, "dim": 1536})
+    assert p["n"] * 1536 * 4 <= MAX_DATASET_BYTES
+
+
+def test_chromadb_qdrant_dispatched_or_unavailable():
+    """Selected chromadb/qdrant must go through their bench fns (reported
+    unavailable only because the libs aren't installed here — not because
+    dispatch fell through; ADVICE r4 medium)."""
+    async def go():
+        async with TestClient(TestServer(create_compare_app())) as client:
+            r = await client.post("/api/run", json={
+                "engines": ["chromadb", "qdrant"], "n": 200, "dim": 64,
+                "queries": 2, "k": 2})
+            assert r.status == 200
+            st = await _wait_done(client)
+            import importlib.util
+            have = {"chromadb": "chromadb", "qdrant": "qdrant_client"}
+            for row in st["rows"]:
+                if importlib.util.find_spec(have[row["engine"]]) is not None:
+                    # lib installed: dispatch must produce a real row
+                    assert row["status"] == "ok", row
+                else:
+                    assert row["status"] == "unavailable", row
+
+    run(go())

@@ -406,3 +406,118 @@ def test_legacy_collision_does_not_leak_across_tenants(tmp_path, rng):
     other = mgr.create_store("a b", "m", VectorStoreConfig(dimension=8))
     assert other.vector_count == 0
     assert first.vector_count == 5
+
+
+class TestAutoRemediation:
+    """r4 verdict item 1: the sampled-recall guard must self-heal, not just
+    warn — IVF escalates nprobe x2, the beam graph reruns a full-budget
+    refine (vector_store.py _remediate_low_recall)."""
+
+    def test_ivf_nprobe_escalation_heals(self, tmp_path, rng):
+        # uniform data + nprobe=1 over 64 clusters: probe coverage is far
+        # too low (the 100Kx64 analog where nprobe=32 served 0.440)
+        d = 16
+        x = rng.standard_normal((3000, d)).astype(np.float32)
+        store = TPUVectorStore(tmp_path / "heal", VectorStoreConfig(
+            dimension=d, enable_ann=True, persist_mode="off",
+            ann_params={"index_type": "ivf", "min_rows": 0, "nprobe": 1,
+                        "n_clusters": 64, "bucket_rows": 256}))
+        store.add_vectors(x)
+        est = store._ann_recall_estimate
+        assert est is not None and est >= 0.90, est
+        # the escalated operating point is written back so it persists
+        assert store.config.ann_params["nprobe"] > 1
+        assert store._ann.nprobe == store.config.ann_params["nprobe"]
+        assert not store._ann_low_recall
+
+    def test_no_escalation_when_healthy(self, tmp_path, rng):
+        d = 16
+        centers = rng.standard_normal((4, d)).astype(np.float32) * 5
+        x = centers[rng.integers(0, 4, 2000)] + \
+            rng.standard_normal((2000, d)).astype(np.float32) * 0.1
+        store = TPUVectorStore(tmp_path / "ok", VectorStoreConfig(
+            dimension=d, enable_ann=True, persist_mode="off",
+            ann_params={"index_type": "ivf", "min_rows": 0, "nprobe": 16,
+                        "n_clusters": 16, "bucket_rows": 512}))
+        store.add_vectors(x.astype(np.float32))
+        assert store._ann_recall_estimate >= 0.90
+        # healthy regime: the knob is untouched
+        assert store.config.ann_params["nprobe"] == 16
+        assert store._ann.nprobe == 16
+
+    def test_auto_remediate_off_warns_only(self, tmp_path, rng):
+        d = 16
+        x = rng.standard_normal((3000, d)).astype(np.float32)
+        store = TPUVectorStore(tmp_path / "off", VectorStoreConfig(
+            dimension=d, enable_ann=True, persist_mode="off",
+            ann_params={"index_type": "ivf", "min_rows": 0, "nprobe": 1,
+                        "n_clusters": 64, "bucket_rows": 256,
+                        "auto_remediate": False}))
+        store.add_vectors(x)
+        assert store.config.ann_params["nprobe"] == 1
+        assert store._ann.nprobe == 1
+
+    def test_beam_remediation_runs_full_budget_refine(self, tmp_path, rng):
+        # wiring test: remediation must run refine at refine_budget_div=1
+        # and restore the configured divisor afterwards
+        d = 24
+        centers = rng.standard_normal((8, d)).astype(np.float32) * 5
+        x = centers[rng.integers(0, 8, 400)] + \
+            rng.standard_normal((400, d)).astype(np.float32) * 0.3
+        store = TPUVectorStore(tmp_path / "beam", VectorStoreConfig(
+            dimension=d, enable_ann=True, persist_mode="off",
+            ann_params={"index_type": "beam_graph", "M": 8,
+                        "ef_construction": 64, "ef_search": 64}))
+        store.add_vectors(x.astype(np.float32))
+        divisor_at_call = []
+        store._ann.refine = lambda db, sqnorms=None, passes=1: \
+            divisor_at_call.append(store._ann.refine_budget_div)
+        configured = store._ann.refine_budget_div
+        ests = iter([0.85, 0.95])
+        final = store._remediate_low_recall(0.5, 0.9, lambda: next(ests))
+        assert divisor_at_call == [1, 1]
+        assert final == 0.95
+        assert store._ann.refine_budget_div == configured
+
+
+class TestHbmCapacityGuard:
+    """r4 verdict item 8: reject over-HBM configs with a clean error naming
+    the int8/int4 capacity modes instead of an opaque XLA OOM."""
+
+    def test_estimator_terms(self):
+        cfg = VectorStoreConfig(dimension=768, enable_ann=True,
+                                ann_params={"index_type": "ivf"})
+        # f32: 4*768 + 6 (ivf id table) per row
+        assert cfg.device_bytes_for(1_000_000) == 1_000_000 * (4 * 768 + 6)
+        beam = VectorStoreConfig(dimension=768, enable_ann=True,
+                                 ann_params={"index_type": "beam_graph",
+                                             "M": 16})
+        assert beam.device_bytes_for(10) == 10 * (4 * 768 + 16 * 2 * 8)
+
+    def test_creation_over_budget_raises(self, monkeypatch):
+        from tpu_vector_db.store.config import StoreCapacityError
+        monkeypatch.setenv("VDB_HBM_BYTES", str(8 * 1024 ** 2))  # 8 MiB
+        with pytest.raises(StoreCapacityError) as ei:
+            VectorStoreConfig(dimension=768, initial_capacity=1 << 20)
+        msg = str(ei.value)
+        assert "int4" in msg and "max ~" in msg
+
+    def test_add_over_budget_clean_error_no_mutation(self, tmp_path, rng,
+                                                     monkeypatch):
+        from tpu_vector_db.store.config import StoreCapacityError
+        store = TPUVectorStore(tmp_path / "hbm", VectorStoreConfig(
+            dimension=128, persist_mode="off", initial_capacity=256,
+            block_rows=256))
+        store.add_vectors(rng.standard_normal((200, 128)).astype(np.float32))
+        # budget allows the current capacity but not the next doubling
+        monkeypatch.setenv(
+            "VDB_HBM_BYTES",
+            str(int(store.config.device_bytes_for(256) / 0.85) + 1))
+        with pytest.raises(StoreCapacityError):
+            store.add_vectors(
+                rng.standard_normal((200, 128)).astype(np.float32))
+        # failed add left the store untouched
+        assert len(store) == 200
+        assert len(store._metadata) == 200
+        ids, _, _ = store.query(np.asarray(store._host_buf[5]), k=1)
+        assert ids[0] == 5

@@ -30,6 +30,7 @@ from tpu_vector_db.monitoring import get_registry, record_request
 from tpu_vector_db.monitoring.health import HealthChecker
 from tpu_vector_db.security.auth import auth_config, hash_api_key
 from tpu_vector_db.service.error_handler import get_error_handler
+from tpu_vector_db.store.config import StoreCapacityError
 from tpu_vector_db.service.errors import PeerLostError
 from tpu_vector_db.service.manager import VectorStoreManager
 
@@ -117,6 +118,11 @@ async def error_middleware(request: web.Request, handler):
                  "timestamp": time.time()},
                 status=exc.status)
         raise
+    except StoreCapacityError as exc:
+        # over-HBM store/add: 413 with the capacity-mode guidance intact
+        return web.json_response(
+            {"error": str(exc), "code": 413, "timestamp": time.time()},
+            status=413)
     except ValueError as exc:
         return web.json_response(
             {"error": str(exc), "code": 400, "timestamp": time.time()},

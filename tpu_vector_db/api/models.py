@@ -122,6 +122,10 @@ class CreateStoreRequest(BaseModel):
     storage_dtype: str = Field(default="float32",
                                pattern="^(float32|bfloat16|int8|int4)$")
     ann_params: dict | None = None
+    # planned row count: checked against the device-HBM budget at creation
+    # (store/config.py check_device_budget) — over-budget requests get a
+    # 413 naming the int8/int4 capacity modes and the max feasible rows
+    expected_rows: int | None = Field(default=None, ge=1)
 
 
 class DeleteStoreRequest(BaseModel):

@@ -48,6 +48,11 @@ async def create_store(request: web.Request) -> web.Response:
         storage_dtype=body.storage_dtype,
         ann_params=ann_params,
     )
+    if body.expected_rows:
+        # creation-time HBM guard: the error middleware maps
+        # StoreCapacityError to a 413 naming the int8/int4 capacity
+        # modes and the max feasible rows (store/config.py)
+        cfg.check_device_budget(body.expected_rows)
     try:
         store = manager.create_store(body.user_id, body.model_id, cfg)
     except FileExistsError:
