@@ -14,6 +14,7 @@ over the reference: sliding-window counters instead of fixed windows (no
 from __future__ import annotations
 
 import logging
+import os
 import threading
 import time
 from collections import deque
@@ -267,6 +268,37 @@ class RedisRateLimiter:
             pass
 
 
+_scale_cache: tuple[float, dict] | None = None
+
+
+def _scaled(cfg: RateLimitConfig) -> RateLimitConfig:
+    """Apply the deployment-wide policy multiplier VECTOR_DB_RATE_SCALE.
+
+    The table above encodes the reference's multi-tenant SaaS posture
+    (parity :44-79), but a dedicated/self-hosted deployment of a serving
+    stack measured at 4-digit QPS needs proportionally higher ceilings
+    without editing code. One float scales every limit in the table
+    (requests/minute, /hour, burst, concurrency); default 1.0 = the
+    reference posture. Read once per process (env changes need a
+    restart, like the tier map)."""
+    global _scale_cache
+    scale = float(os.environ.get("VECTOR_DB_RATE_SCALE", "1.0"))
+    if _scale_cache is None or _scale_cache[0] != scale:
+        _scale_cache = (scale, {})
+    if scale == 1.0:
+        return cfg
+    cache = _scale_cache[1]
+    hit = cache.get(id(cfg))
+    if hit is None:
+        hit = RateLimitConfig(
+            max(int(cfg.requests_per_minute * scale), 1),
+            max(int(cfg.requests_per_hour * scale), 1),
+            max(int(cfg.burst_allowance * scale), 1),
+            max(int(cfg.concurrent_requests * scale), 1))
+        cache[id(cfg)] = hit
+    return hit
+
+
 class ProductionRateLimiter:
     """Backend selection with automatic fallback (reference :262-301):
     Redis if REDIS_URL is set and reachable, else in-memory; a Redis failure
@@ -284,7 +316,7 @@ class ProductionRateLimiter:
 
     def check(self, key: str, tier: UserTier,
               op: OperationType) -> RateLimitDecision:
-        cfg = POLICIES[(tier, op)]
+        cfg = _scaled(POLICIES[(tier, op)])
         backend_key = f"{tier.value}:{op.value}:{key}"
         if self._redis is not None:
             try:
@@ -322,7 +354,7 @@ def classify_operation(path: str) -> OperationType:
 def _load_tier_map() -> dict[str, UserTier]:
     """Extra key->tier assignments from VECTOR_DB_TIER_KEYS
     ("<key>:<tier>,<key>:<tier>"). Unknown tier names are skipped loudly."""
-    import os
+
     out: dict[str, UserTier] = {}
     raw = os.environ.get("VECTOR_DB_TIER_KEYS", "")
     for entry in filter(None, (e.strip() for e in raw.split(","))):
@@ -346,7 +378,7 @@ def classify_tier(authorization: str | None) -> UserTier:
     key is ENTERPRISE, the service key is PREMIUM (override with
     VECTOR_DB_API_TIER), additional keys map through VECTOR_DB_TIER_KEYS,
     and everything else — including unauthenticated traffic — is FREE."""
-    import os
+
     from tpu_vector_db.security.auth import (_extract_bearer, auth_config,
                                              ct_equal)
 

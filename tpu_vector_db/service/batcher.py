@@ -50,6 +50,11 @@ class QueryCoalescer:
         self._lanes: dict[tuple, _Lane] = {}
         self.batches = 0          # flushes executed (observability)
         self.coalesced = 0        # queries served through a shared batch
+        # flush-size histogram keyed by the power-of-two bucket the batch
+        # pads to (= the compiled device shape it runs under): the load
+        # benchmark's evidence that concurrency actually reaches the
+        # batched regime instead of degenerating to batch-1 flushes
+        self.batch_size_hist: dict[int, int] = {}
 
     @classmethod
     def from_env(cls, manager) -> "QueryCoalescer | None":
@@ -115,6 +120,11 @@ class QueryCoalescer:
             results = await self.manager.batch_query_async(
                 user_id, model_id, arr, k=k, use_ann=use_ann, rerank=rerank)
             self.batches += 1
+            bucket = 1
+            while bucket < len(items):
+                bucket *= 2
+            self.batch_size_hist[bucket] = \
+                self.batch_size_hist.get(bucket, 0) + 1
             if len(items) > 1:
                 self.coalesced += len(items)
             for (_, fut), res in zip(items, results):
@@ -141,4 +151,6 @@ class QueryCoalescer:
         return {"window_ms": self.window_s * 1e3,
                 "max_batch": self.max_batch,
                 "batches": self.batches,
-                "coalesced_queries": self.coalesced}
+                "coalesced_queries": self.coalesced,
+                "batch_size_hist": dict(sorted(
+                    self.batch_size_hist.items()))}

@@ -58,10 +58,12 @@ class VectorStoreConfig:
     #   rerank_oversample, self_check, recall_floor, recall_warn,
     #   filter_exact_selectivity, deleted_exact_live_frac (routing guards),
     #   auto_remediate (default True: when the sampled-recall self-check
-    #   lands below recall_warn, IVF doubles nprobe up to
-    #   remediate_nprobe_max and the beam graph runs up to
-    #   remediate_max_refines full-budget refine passes — default-config
-    #   stores self-heal instead of silently serving low recall).
+    #   lands below remediate_target (default 0.97 — above the 0.958
+    #   HNSW-yardstick parity bar), IVF doubles nprobe up to
+    #   remediate_nprobe_max (default: the built cluster count, i.e. full
+    #   probe = exact) and the beam graph runs up to remediate_max_refines
+    #   full-budget refine passes — default-config stores self-heal
+    #   instead of silently serving low recall).
     # TPU storage dtype for the device-resident matrix. bf16 halves HBM
     # traffic (the flat-scan bottleneck) at ~1e-3 score error.
     storage_dtype: str = "float32"

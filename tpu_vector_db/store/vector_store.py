@@ -949,10 +949,11 @@ class TPUVectorStore:
         Guard the reference never had: with ann enabled on adversarial data
         (uniform high-dim — distance concentration) a graph index can
         silently serve ~0.35 recall. Sample stored vectors, self-query both
-        paths, and (a) auto-remediate below ``recall_warn`` (default 0.90):
-        IVF escalates nprobe in x2 steps, the beam graph runs a full-budget
-        refine pass (see _remediate_low_recall); (b) warn if still below
-        ``recall_warn``; (c) route queries back to the exact scan below
+        paths, and (a) auto-remediate below ``remediate_target`` (default
+        0.97): IVF escalates nprobe in x2 steps, the beam graph runs a
+        full-budget refine pass (see _remediate_low_recall); (b) warn if
+        still below ``recall_warn``; (c) route queries back to the exact
+        scan below
         ``recall_floor`` (default 0.50). Costs one flat batch query (~ms)
         on healthy regimes; remediation only fires on degraded ones."""
         p = self.config.ann_params
@@ -999,8 +1000,13 @@ class TPUVectorStore:
 
         est = estimate()
         warn = p.get("recall_warn", 0.90)
-        if est < warn and p.get("auto_remediate", True):
-            est = self._remediate_low_recall(est, warn, estimate)
+        # remediation aims HIGHER than the warn threshold: the parity
+        # contract is beating an HNSW yardstick that serves ~0.958 on
+        # uniform regimes (RECALL_PARITY_r04.json), so stopping the
+        # escalation at 0.90 would leave a default store below it
+        target = p.get("remediate_target", 0.97)
+        if est < target and p.get("auto_remediate", True):
+            est = self._remediate_low_recall(est, target, estimate)
         self._ann_recall_estimate = est
         self._ann_checked_at = self._count
         floor = p.get("recall_floor", 0.50)
@@ -1020,35 +1026,45 @@ class TPUVectorStore:
             logger.info("ANN sampled recall recovered to %.3f; "
                         "index re-enabled", est)
 
-    def _remediate_low_recall(self, est: float, warn: float,
+    def _remediate_low_recall(self, est: float, target: float,
                               estimate) -> float:
         """Self-healing escalation when the sampled-recall guard trips.
 
         The reference shipped fixed-knob operating points
         (performance/hnsw_index.py:79) and silently degraded on hard
         regimes; here a default-config store repairs itself (r4 verdict
-        item 1 — at fast-build defaults, uniform 100Kx64 served 0.917):
+        item 1 — at fast-build defaults, uniform 100Kx64 served 0.917).
+        Escalation runs until the estimate clears ``remediate_target``
+        (default 0.97 — above the 0.958 HNSW-yardstick bar, with slack
+        for the bf16 tie tolerance in the estimator):
 
         * IVF: recall is pure probe coverage, so double nprobe (x2 steps,
           re-estimating after each) up to ``remediate_nprobe_max``
-          (default max(256, 8x the starting nprobe)). The escalated value
-          is written back to ann_params so it persists in the manifest.
+          (default: the built cluster count — full probe is the exact
+          scan, so the loop always terminates at recall 1.0; queries in
+          such a regime cost the same as the flat route the floor guard
+          would have picked anyway). The escalated value is written back
+          to ann_params so it persists in the manifest.
         * beam graph: run full-budget refine passes over the existing
           graph (refine_budget_div=1 — the measured buy-back for the
           fast-build defaults: 0.991 vs 0.917 on uniform 100Kx64, commit
           086d48f) up to ``remediate_max_refines`` (default 2) times.
 
         Disabled with ann_params["auto_remediate"]=False. Never fires on
-        regimes where the estimate already clears recall_warn (clustered
-        1M x 768D estimates ~0.99), so healthy build times are unchanged.
+        regimes where the estimate already clears remediate_target
+        (clustered 1M x 768D estimates ~0.99), so healthy build times are
+        unchanged.
         """
         p = self.config.ann_params
         changed = False
         if self._ann_kind == "ivf" and hasattr(self._ann, "nprobe"):
             start = int(p.get("nprobe", self._ann.nprobe))
-            cap = int(p.get("remediate_nprobe_max", max(256, start * 8)))
+            cents = getattr(self._ann, "_centroids", None)
+            built_clusters = 0 if cents is None else len(cents)
+            cap = int(p.get("remediate_nprobe_max",
+                            built_clusters or max(256, start * 8)))
             nprobe = start
-            while est < warn and nprobe < cap:
+            while est < target and nprobe < cap:
                 nprobe = min(nprobe * 2, cap)
                 self._ann.nprobe = nprobe
                 p["nprobe"] = nprobe
@@ -1063,7 +1079,7 @@ class TPUVectorStore:
             self._ann.refine_budget_div = 1
             try:
                 for i in range(max_refines):
-                    if est >= warn:
+                    if est >= target:
                         break
                     self._ann.refine(self._db, sqnorms=self._sqnorms,
                                      passes=1)
