@@ -7,7 +7,10 @@ HNSW yardstick's 0.958 — and the sampled-recall self-check only warned.
 Round 5 wires the check to auto-remediate (vector_store.py
 _remediate_low_recall): IVF escalates nprobe x2 up to full probe, the
 beam graph reruns full-budget refine passes, both until the estimate
-clears remediate_target (default 0.97).
+clears remediate_target (default 0.98 — the estimator's bf16 tie
+tolerance reads ~1-2 points above strict id-recall, so 0.97 could land
+strict recall just under the 0.958 bar; 0.98 keeps the healed strict
+number above it, measured 0.974/0.983 in RECALL_PARITY_r05.json).
 
 This harness attests the healed operating point at the real scale, with
 ZERO knobs — `VectorStoreConfig(dimension=d, enable_ann=True)` and

@@ -253,6 +253,50 @@ class TestNativeBuilder:
         assert idx == [1550]
 
 
+class TestYardstickAnchor:
+    """benchmarks/hnsw_reference.py is the recall yardstick for the
+    equal-knob parity claim (RECALL_PARITY_r05.json). Anchor it: on a
+    regime where HNSW is KNOWN to work (uniform low-dim), the scalar
+    yardstick must deliver hnswlib-class recall and agree with the
+    native C++ builder's graph (native/graph_builder.cpp) at equal
+    knobs on the same data — immunizing the adversarial-regime numbers
+    (its 0.542 on tight 768D clusters) against 'the yardstick is just
+    broken'."""
+
+    def test_hnsw_yardstick_matches_native_builder(self, rng):
+        import sys
+        from pathlib import Path
+        sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+        from benchmarks.hnsw_reference import ReferenceHNSW
+        from tpu_vector_db.index import native
+
+        n, d, k = 3000, 32, 10
+        vectors = rng.standard_normal((n, d)).astype(np.float32)
+        queries = rng.standard_normal((40, d)).astype(np.float32)
+        truth = ground_truth(queries, vectors, k, "cosine")
+
+        hnsw = ReferenceHNSW(dim=d, metric="cosine", M=16,
+                             ef_construction=100)
+        hnsw.add(vectors)
+        found = np.asarray([hnsw.search(q, k, ef_search=100)[0]
+                            for q in queries])
+        r_hnsw = recall_at_k(found, truth)
+        # hnswlib-class operating point at these knobs
+        assert r_hnsw >= 0.95, f"yardstick recall={r_hnsw:.3f}"
+
+        if native.available():
+            index = BeamGraphIndex(dim=d, metric="cosine", M=16,
+                                   ef_construction=100)
+            index.build_cpu(vectors, n)
+            db = prepare(vectors, "cosine")
+            ids, _ = index.search(prepare(queries, "cosine"), db, n,
+                                  k=k, ef_search=100)
+            r_native = recall_at_k(ids, truth)
+            # both competent on the easy regime, within a few points
+            assert abs(r_hnsw - r_native) <= 0.05, (
+                f"yardstick {r_hnsw:.3f} vs native {r_native:.3f}")
+
+
 class TestFusedBuildPaths:
     """Round-2 device-resident build: lazy host mirror, odd-size tails,
     overlap windows (index/beam_graph.py:_insert_range / refine)."""

@@ -65,6 +65,29 @@ def _select_buckets(queries, centroids, bucket_cluster, nprobe: int,
     return sel.astype(jnp.int32)
 
 
+@functools.partial(jax.jit, static_argnames=("nprobe", "metric", "k",
+                                             "layout"))
+def _select_and_probe(q, centroids, bucket_cluster, c_sqnorms, buckets,
+                      ids, fills, sqnorms, db, scales, nprobe: int,
+                      metric: str, k: int, layout: str):
+    """Centroid selection + bucket probe fused into ONE dispatched
+    program. search() used to dispatch _select_buckets and the probe
+    kernel separately — behind the axon tunnel every dispatch pays a
+    measured ~0.7 ms floor, so the split DOUBLED the production batch-1
+    overhead (r4 verdict item 4's audit). Fused, a batch-1 IVF query is
+    one program end-to-end (the final D2H in search() is the only other
+    round-trip)."""
+    sel = _select_buckets(q, centroids, bucket_cluster, nprobe, metric,
+                          c_sqnorms)
+    if layout == "gather":
+        return ivf_probe_topk_gather(q, db, ids, sel, k, metric=metric,
+                                     db_scales=scales)
+    if layout == "pallas":
+        return ivf_probe_topk_pallas(q, buckets, ids, fills, sel, k)
+    return ivf_probe_topk_xla(q, buckets, ids, sel, k, metric=metric,
+                              bucket_sqnorms=sqnorms)
+
+
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _scatter_rows(buckets, flat_pos, rows):
     nb, bc, d = buckets.shape
@@ -412,23 +435,18 @@ class IVFIndex:
         nb = dev["ids"].shape[0]
         p = min(nprobe or self.nprobe, nb)
         q = jnp.asarray(queries, jnp.float32)
-        sel = _select_buckets(q, dev["centroids"], dev["bucket_cluster"],
-                              p, self.metric, dev["c_sqnorms"])
         if self._gather_layout(db):
-            keys, ids = ivf_probe_topk_gather(
-                q, db, dev["ids"], sel, k, metric=self.metric,
-                db_scales=scales)
+            layout = "gather"
+        elif (k <= MAX_IVF_PALLAS_K and jax.default_backend() == "tpu"
+              and self.metric != "euclidean"):
+            layout = "pallas"
         else:
-            use_pallas = (k <= MAX_IVF_PALLAS_K
-                          and jax.default_backend() == "tpu"
-                          and self.metric != "euclidean")
-            if use_pallas:
-                keys, ids = ivf_probe_topk_pallas(
-                    q, dev["buckets"], dev["ids"], dev["fills"], sel, k)
-            else:
-                keys, ids = ivf_probe_topk_xla(
-                    q, dev["buckets"], dev["ids"], sel, k,
-                    metric=self.metric, bucket_sqnorms=dev["sqnorms"])
+            layout = "xla"
+        keys, ids = _select_and_probe(
+            q, dev["centroids"], dev["bucket_cluster"], dev["c_sqnorms"],
+            dev.get("buckets"), dev["ids"], dev.get("fills"),
+            dev.get("sqnorms"), db if layout == "gather" else None,
+            scales, p, self.metric, k, layout)
         keys = np.asarray(keys)
         ids = np.asarray(ids)
         ids = np.where(keys == NEG_INF, -1, ids)

@@ -58,7 +58,7 @@ class VectorStoreConfig:
     #   rerank_oversample, self_check, recall_floor, recall_warn,
     #   filter_exact_selectivity, deleted_exact_live_frac (routing guards),
     #   auto_remediate (default True: when the sampled-recall self-check
-    #   lands below remediate_target (default 0.97 — above the 0.958
+    #   lands below remediate_target (default 0.98 — above the 0.958
     #   HNSW-yardstick parity bar), IVF doubles nprobe up to
     #   remediate_nprobe_max (default: the built cluster count, i.e. full
     #   probe = exact) and the beam graph runs up to remediate_max_refines

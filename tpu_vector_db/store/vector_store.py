@@ -950,7 +950,7 @@ class TPUVectorStore:
         (uniform high-dim — distance concentration) a graph index can
         silently serve ~0.35 recall. Sample stored vectors, self-query both
         paths, and (a) auto-remediate below ``remediate_target`` (default
-        0.97): IVF escalates nprobe in x2 steps, the beam graph runs a
+        0.98): IVF escalates nprobe in x2 steps, the beam graph runs a
         full-budget refine pass (see _remediate_low_recall); (b) warn if
         still below ``recall_warn``; (c) route queries back to the exact
         scan below
@@ -1004,7 +1004,7 @@ class TPUVectorStore:
         # contract is beating an HNSW yardstick that serves ~0.958 on
         # uniform regimes (RECALL_PARITY_r04.json), so stopping the
         # escalation at 0.90 would leave a default store below it
-        target = p.get("remediate_target", 0.97)
+        target = p.get("remediate_target", 0.98)
         if est < target and p.get("auto_remediate", True):
             est = self._remediate_low_recall(est, target, estimate)
         self._ann_recall_estimate = est
@@ -1035,7 +1035,7 @@ class TPUVectorStore:
         regimes; here a default-config store repairs itself (r4 verdict
         item 1 — at fast-build defaults, uniform 100Kx64 served 0.917).
         Escalation runs until the estimate clears ``remediate_target``
-        (default 0.97 — above the 0.958 HNSW-yardstick bar, with slack
+        (default 0.98 — above the 0.958 HNSW-yardstick bar, with slack
         for the bf16 tie tolerance in the estimator):
 
         * IVF: recall is pure probe coverage, so double nprobe (x2 steps,
