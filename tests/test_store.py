@@ -702,3 +702,79 @@ class TestRerankBf16:
         for (ia, sa, _), (ib, sb, _) in zip(a, b):
             assert list(ia) == list(ib)
             np.testing.assert_allclose(sa, sb)
+
+
+class TestIngestWhileServing:
+    """r4 verdict item 3: queries must never block behind an ANN refresh.
+
+    add_vectors appends under the store lock (ms) but runs the index
+    build/extend under a SEPARATE build lock; while the index is stale,
+    queries route to the exact scan — which already covers the new rows,
+    so a just-added vector is searchable immediately at bounded latency.
+    (The reference rebuilt its whole HNSW inside the serving path on
+    every add, optimized_vector_store.py:110-113.)
+    """
+
+    def test_queries_bounded_during_ann_refresh(self, tmp_store_path, rng):
+        import threading
+        import time
+
+        cfg = VectorStoreConfig(
+            dimension=16, enable_ann=True, persist_mode="off",
+            ann_params={"index_type": "beam_graph", "M": 4,
+                        "ef_construction": 32, "ef_search": 32,
+                        "self_check": False})
+        store = TPUVectorStore(tmp_store_path, cfg)
+        base = rng.standard_normal((600, 16)).astype(np.float32)
+        store.add_vectors(base)
+        assert not store._ann_stale
+
+        # hold the index's incremental add hostage to pin the stale window
+        started, release = threading.Event(), threading.Event()
+        orig_add = store._ann.add
+
+        def gated_add(*a, **kw):
+            started.set()
+            assert release.wait(timeout=30)
+            return orig_add(*a, **kw)
+
+        store._ann.add = gated_add
+        new = rng.standard_normal((8, 16)).astype(np.float32)
+        t = threading.Thread(target=store.add_vectors, args=(new,))
+        t.start()
+        try:
+            assert started.wait(10)
+            # refresh is mid-flight: the query must complete fast AND see
+            # the fresh row (exact-scan route covers the unindexed tail)
+            t0 = time.perf_counter()
+            ids, scores, _ = store.query(new[3], k=1)
+            dt = time.perf_counter() - t0
+            assert dt < 2.0, f"query blocked {dt:.1f}s behind ANN refresh"
+            assert ids[0] == 603
+            assert scores[0] > 0.999
+        finally:
+            release.set()
+            t.join(30)
+        # refresh done: index serves again, same answer
+        assert not store._ann_stale
+        store._ann.add = orig_add
+        ids, _, _ = store.query(new[3], k=1)
+        assert ids[0] == 603
+
+    def test_back_to_back_adds_coalesce(self, tmp_store_path, rng):
+        """The stale fast path: whichever add reaches the build lock first
+        indexes every appended row; later holders return without work."""
+        cfg = VectorStoreConfig(
+            dimension=16, enable_ann=True, persist_mode="off",
+            ann_params={"index_type": "beam_graph", "M": 4,
+                        "ef_construction": 32, "ef_search": 32,
+                        "self_check": False})
+        store = TPUVectorStore(tmp_store_path, cfg)
+        store.add_vectors(rng.standard_normal((600, 16)).astype(np.float32))
+        more = rng.standard_normal((40, 16)).astype(np.float32)
+        for s in range(0, 40, 8):
+            store.add_vectors(more[s:s + 8])
+        assert not store._ann_stale
+        assert store._ann.size == 640
+        ids, _, _ = store.query(more[17], k=1)
+        assert ids[0] == 617

@@ -73,6 +73,25 @@ def _score_ids(queries, db, ids, metric: str, sqnorms):
 @functools.partial(
     jax.jit,
     static_argnames=("k", "ef", "beam_width", "iters", "metric"))
+@functools.partial(jax.jit, static_argnames=("k", "ef", "beam_width",
+                                             "iters", "metric"))
+def _beam_search_packed(queries, db, graph, entries, count, k: int,
+                        ef: int, beam_width: int, iters: int, metric: str,
+                        sqnorms=None):
+    """beam_search + device-side result pack in ONE program: keys bitcast
+    (f32->int32 — the axon-safe direction) into an int32 payload next to
+    the ids so search() does a SINGLE blocking D2H. Two separate
+    transfers through the tunnel measured ~2x the batch-1 wall
+    (benchmarks/batch1_decomp.py); the store's flat path packs the same
+    way (vector_store._query_packed)."""
+    ids, keys = beam_search(queries, db, graph, entries, count, k=k,
+                            ef=ef, beam_width=beam_width, iters=iters,
+                            metric=metric, sqnorms=sqnorms)
+    keys_i = jax.lax.bitcast_convert_type(keys.astype(jnp.float32),
+                                          jnp.int32)
+    return jnp.concatenate([ids.astype(jnp.int32), keys_i], axis=-1)
+
+
 def beam_search(queries, db, graph, entries, count, k: int, ef: int,
                 beam_width: int, iters: int, metric: str, sqnorms=None):
     """Batched best-first beam search. Returns (ids (Q,k), keys (Q,k));
@@ -740,13 +759,16 @@ class BeamGraphIndex:
         # recall (300K x 768D: 19.4 -> 15.1 ms/batch, same 0.897/0.992)
         bw = 8
         iters = max(ef // bw * 2, 8)
-        ids, keys = beam_search(
+        packed = _beam_search_packed(
             jnp.asarray(queries, jnp.float32), db, self._graph_dev,
             jnp.asarray(self._entries_padded()),
             np.int32(min(self._n, count)),
             k=k, ef=ef, beam_width=bw, iters=iters,
             metric=self.metric, sqnorms=sqnorms)
-        return np.asarray(ids), np.asarray(keys)
+        packed = np.asarray(packed)  # the one blocking D2H
+        ids = packed[:, :k]
+        keys = np.ascontiguousarray(packed[:, k:]).view(np.float32)
+        return ids, keys
 
     # ----------------------------------------------------------- persistence
 

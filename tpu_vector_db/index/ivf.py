@@ -88,6 +88,25 @@ def _select_and_probe(q, centroids, bucket_cluster, c_sqnorms, buckets,
                               bucket_sqnorms=sqnorms)
 
 
+@functools.partial(jax.jit, static_argnames=("nprobe", "metric", "k",
+                                             "layout"))
+def _select_probe_packed(q, centroids, bucket_cluster, c_sqnorms, buckets,
+                         ids, fills, sqnorms, db, scales, nprobe: int,
+                         metric: str, k: int, layout: str):
+    """_select_and_probe + device-side result pack, ONE program: keys
+    bitcast into an int32 payload next to the ids so the host does a
+    SINGLE D2H per search (the store's flat path does the same —
+    vector_store._query_packed; two transfers through the tunnel measured
+    52 ms vs 26 ms wall for batch-1, benchmarks/batch1_decomp.py).
+    f32->int32 bitcast only — the axon backend miscompiles the reverse."""
+    keys, idx = _select_and_probe(q, centroids, bucket_cluster, c_sqnorms,
+                                  buckets, ids, fills, sqnorms, db, scales,
+                                  nprobe, metric, k, layout)
+    keys_i = jax.lax.bitcast_convert_type(keys.astype(jnp.float32),
+                                          jnp.int32)
+    return jnp.concatenate([keys_i, idx.astype(jnp.int32)], axis=-1)
+
+
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _scatter_rows(buckets, flat_pos, rows):
     nb, bc, d = buckets.shape
@@ -442,13 +461,14 @@ class IVFIndex:
             layout = "pallas"
         else:
             layout = "xla"
-        keys, ids = _select_and_probe(
+        packed = _select_probe_packed(
             q, dev["centroids"], dev["bucket_cluster"], dev["c_sqnorms"],
             dev.get("buckets"), dev["ids"], dev.get("fills"),
             dev.get("sqnorms"), db if layout == "gather" else None,
             scales, p, self.metric, k, layout)
-        keys = np.asarray(keys)
-        ids = np.asarray(ids)
+        packed = np.asarray(packed)  # the one blocking D2H
+        keys = np.ascontiguousarray(packed[:, :k]).view(np.float32)
+        ids = packed[:, k:]
         ids = np.where(keys == NEG_INF, -1, ids)
         return ids, keys
 

@@ -219,7 +219,11 @@ class ShardedVectorStore(TPUVectorStore):
             metadata = [{} for _ in range(n)]
         if len(metadata) != n:
             raise ValueError(f"metadata length {len(metadata)} != vectors {n}")
-        with self._lock:
+        # rw.write: queries are readers (base batch_query) — the donated
+        # per-shard append must exclude in-flight dispatches. The sharded
+        # refresh stays synchronous under the lock (its per-shard extend
+        # repartitions compiled-fn caches; conservative).
+        with self._lock, self._rw.write():
             old_count = self._count
             new_count = old_count + n
             self._ensure_host_cap(new_count)
