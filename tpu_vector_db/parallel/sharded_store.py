@@ -53,28 +53,38 @@ class _CompiledFnCache:
 
     Capacity doublings and varied k would otherwise accumulate compiled
     XLA programs forever (round-1 finding); entries for stale capacities
-    are dropped eagerly on every capacity change."""
+    are dropped eagerly on every capacity change.
+
+    Thread-safe: queries are concurrent READERS of the store (rw.read,
+    vector_store.batch_query) and get/put from multiple executor threads;
+    the OrderedDict move_to_end/popitem pair is not atomic under
+    concurrent mutation."""
 
     def __init__(self, max_entries: int = 16) -> None:
+        import threading
         from collections import OrderedDict
         self._d: "OrderedDict[tuple, object]" = OrderedDict()
         self._max = max_entries
+        self._mu = threading.Lock()
 
     def get(self, key: tuple):
-        fn = self._d.get(key)
-        if fn is not None:
-            self._d.move_to_end(key)
-        return fn
+        with self._mu:
+            fn = self._d.get(key)
+            if fn is not None:
+                self._d.move_to_end(key)
+            return fn
 
     def put(self, key: tuple, fn) -> None:
-        self._d[key] = fn
-        self._d.move_to_end(key)
-        while len(self._d) > self._max:
-            self._d.popitem(last=False)
+        with self._mu:
+            self._d[key] = fn
+            self._d.move_to_end(key)
+            while len(self._d) > self._max:
+                self._d.popitem(last=False)
 
     def drop_stale_capacity(self, cap: int) -> None:
-        for key in [k for k in self._d if k[-1] != cap]:
-            del self._d[key]
+        with self._mu:
+            for key in [k for k in self._d if k[-1] != cap]:
+                del self._d[key]
 
     def __len__(self) -> int:
         return len(self._d)
