@@ -33,7 +33,15 @@ class VectorStoreManager:
     """Registry of tenant stores keyed (user_id, model_id)."""
 
     def __init__(self, base_path: str | os.PathLike = DEFAULT_BASE,
-                 max_workers: int = 4, sharded: bool | None = None) -> None:
+                 max_workers: int | None = None,
+                 sharded: bool | None = None) -> None:
+        if max_workers is None:
+            # queries are concurrent store READERS (RWLock) — each worker
+            # can hold a blocking device call in flight, so the pool size
+            # caps how many coalesced flushes overlap in the device
+            # stream. 4 suits a local chip; raise VDB_WORKERS behind a
+            # high-RTT tunnel where overlap hides the round-trip.
+            max_workers = int(os.environ.get("VDB_WORKERS", "4"))
         if sharded is None:
             # serve sharded stores across all visible devices when asked
             sharded = os.environ.get("VECTOR_DB_SHARDED", "0") == "1"
