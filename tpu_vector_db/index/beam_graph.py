@@ -663,8 +663,11 @@ class BeamGraphIndex:
         return step
 
     # batches folded per dispatch; the dominant build cost through the axon
-    # tunnel is the per-dispatch round trip, not device compute
-    _SCAN_K = 8
+    # tunnel is the per-dispatch round trip, not device compute. r5
+    # same-process A/B at 300Kx768D (BUILD_KFOLD_r05.json): K=16 builds 9%
+    # faster than K=8 (188.0s vs 206.5s) at equal strict recall (0.858 vs
+    # 0.850) by halving dispatched programs per pass (37 vs 74).
+    _SCAN_K = 16
     # build-time beam width: total expansion budget stays efc (iters=efc/bw)
     # — a wider beam halves the sequential scan length per inserted batch
     build_beam_width = 4
