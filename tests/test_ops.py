@@ -302,6 +302,39 @@ class TestPallasScan:
         live = np.isfinite(np.asarray(vals))
         assert np.all((idx[live] >= 100) & (idx[live] < 200))
 
+    def test_block_pick_is_query_count_aware(self):
+        """r5: the merge-branch VMEM term scales with the actual query
+        count (floored at 8 — Mosaic sublane padding), so batch-1 gets
+        2-4x taller blocks while Q=64 picks stay EXACTLY as measured
+        (B1_BLOCK_AB_r05.json: 1Mx768 b1 2.811 -> 2.659 ms at 4096;
+        1.25Mx128 b1 1.071 -> 0.995 ms, plateau past 8192)."""
+        from tpu_vector_db.ops.pallas_scan import pick_block_rows
+        # Q=64 picks unchanged from the r2-measured table
+        assert pick_block_rows(128, 2) == 4096
+        assert pick_block_rows(384, 2) == 2048
+        assert pick_block_rows(768, 2) == 2048
+        assert pick_block_rows(1536, 2) == 1024
+        # small-Q picks grow within the same 14.5MB budget
+        assert pick_block_rows(768, 2, q_n=1) == 4096
+        assert pick_block_rows(128, 2, q_n=1) == 16384
+        assert pick_block_rows(128, 2, q_n=8) == 16384
+        assert pick_block_rows(1024, 2, q_n=1) == 2048
+
+    def test_oversized_default_block_shrinks_to_capacity(self, rng):
+        """A batch-1 pick (16384 at d=128) must shrink to divide a
+        4096-row-padded capacity instead of tripping the grid assert."""
+        from tpu_vector_db.ops.pallas_scan import pallas_flat_topk
+        db = rng.standard_normal((4096, 128)).astype(np.float32)
+        dbj = D.l2_normalize(jnp.asarray(db))
+        vals, idx = pallas_flat_topk(
+            dbj[:1], dbj, np.int32(4000), 10, metric="cosine",
+            interpret=True)
+        rvals, ridx = pallas_flat_topk(
+            dbj[:1], dbj, np.int32(4000), 10, metric="cosine",
+            block_rows=512, interpret=True)
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(ridx))
+        np.testing.assert_allclose(np.asarray(vals), np.asarray(rvals))
+
 
 class TestInt4Quantization:
     """int4 capacity mode (ops/quant4.py + the quant4 kernel path):

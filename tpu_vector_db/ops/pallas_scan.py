@@ -44,7 +44,7 @@ def _next_pow2(n: int) -> int:
     return p
 
 
-def pick_block_rows(d_pad: int, itemsize: int) -> int:
+def pick_block_rows(d_pad: int, itemsize: int, q_n: int = 64) -> int:
     """Power of two (divides any pow2-padded capacity), VMEM-budgeted.
 
     Two VMEM terms bound the block height B (scoped limit 16MB):
@@ -53,11 +53,20 @@ def pick_block_rows(d_pad: int, itemsize: int) -> int:
     the compiler's scoped-allocation report: d=384 bf16 at B=4096 demanded
     16.79MB and OOMed by 812KB, while d=768 at B=2048 and d=128 at B=4096
     fit). Budgeting both terms to 14.5MB keeps every measured config's
-    block unchanged and drops only 384D to 2048."""
+    block unchanged and drops only 384D to 2048.
+
+    q_n-aware (r5): the merge term scales with the ACTUAL query count
+    (floored at 8 — Mosaic pads the sublane dim, so a (1, B) f32 buffer
+    occupies 8 sublanes), so batch-1 gets 2-4x taller blocks: 4096 at
+    d=768, 16384 at d=128. Fewer grid steps matters precisely at small
+    Q/d where the per-step overhead (~2 us) rivals the block's DMA time
+    (1.28 us at d=128/B=4096); Q=64 picks are unchanged everywhere."""
     budget = int(14.5 * 2**20)
+    q_eff = max(q_n, 8)
     block = 512
-    while block * 2 <= 4096 and \
-            (2 * block * 2 * d_pad * itemsize + 41 * 64 * block * 2) <= budget:
+    while block * 2 <= 16384 and \
+            (2 * block * 2 * d_pad * itemsize + 41 * q_eff * block * 2) \
+            <= budget:
         block *= 2
     return block
 
@@ -355,7 +364,12 @@ def pallas_flat_topk(queries, db, count, k: int, metric: str = "cosine",
     # bf16 copy of the block in VMEM (_cross_block) — budget the block
     # like bf16 (itemsize 2 covers stream + widened copy for both)
     block = block_rows or pick_block_rows(
-        d_pad, max(db.dtype.itemsize, 2))
+        d_pad, max(db.dtype.itemsize, 2), q_n)
+    # a q_n-aware pick can exceed what the capacity padding divides
+    # (e.g. cap padded to 4096-row multiples, batch-1 picks 16384):
+    # shrink to the largest divisor — never larger than the caller asked
+    while block > 512 and n_pad % block:
+        block //= 2
     assert n_pad % block == 0, (n_pad, block)
     n_blocks = n_pad // block
     bigk = k > MAX_PALLAS_K
